@@ -1,0 +1,91 @@
+"""Differentiable rendering: losses, gradients, and inverse-rendering steps.
+
+The reference has no gradients at all (SURVEY.md §3.5); this module is the
+north-star's differentiable pass [BASELINE.json:5, :11]: pixel-radiance
+gradients w.r.t. material albedo/fuzz/IOR and sphere centers/radii via
+reparameterized sampling — the counter RNG holds every uniform fixed, so the
+rendered radiance is a (piecewise) smooth function of the scene parameters
+and plain ``jax.grad`` through the scan-form wavefront loop
+(``RenderConfig(differentiable=True)``) is the whole implementation.
+
+Scope (SURVEY.md §7 step 6): gradients flow through the hit equation
+(recompute-from-primitive-id), scatter directions, Schlick/texture/
+throughput math.  NOT differentiated: primitive *selection* (BVH traversal
+under stop_gradient) and the discrete reflect/refract coin — i.e. visibility
+silhouettes are treated as static, the standard reparameterization trade-off,
+validated against finite differences away from silhouettes
+(tests/test_grad.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..render.camera import generate_rays
+from ..render.integrator import RenderConfig, trace_rays
+
+__all__ = ["DIFF_FIELDS", "split_params", "merge_params", "ray_radiance",
+           "render_loss", "render_loss_and_grads", "sgd_step"]
+
+# The differentiable parameter set named by the north-star [BASELINE.json:5]:
+# material albedo/fuzz/IOR + sphere centers/radii (+ checker secondary color
+# and triangle vertices, which fall out for free).
+DIFF_FIELDS = ("sphere_center", "sphere_radius", "albedo", "albedo2",
+               "fuzz", "ref_idx", "tri_v0", "tri_v1", "tri_v2")
+
+
+def split_params(scene, fields=DIFF_FIELDS):
+    """Scene -> (params dict, scene); params are the differentiable leaves."""
+    return {f: getattr(scene, f) for f in fields}, scene
+
+
+def merge_params(scene, params):
+    return dataclasses.replace(scene, **params)
+
+
+def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
+    return dataclasses.replace(cfg, differentiable=True)
+
+
+def ray_radiance(params, scene, camera, cfg: RenderConfig, key, ray_ids,
+                 accel=None, intersect_fn: Optional[Callable] = None):
+    """(R, 3) radiance as a differentiable function of ``params``."""
+    scene = merge_params(scene, params)
+    cam_u = rng.camera_uniforms(key, ray_ids)
+    o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
+    return trace_rays(scene, o, d, ray_ids, key, _diff_cfg(cfg),
+                      accel=accel, intersect_fn=intersect_fn)
+
+
+def render_loss(params, scene, camera, cfg, key, ray_ids, target,
+                accel=None, intersect_fn=None):
+    """Mean squared error between rendered per-ray radiance and ``target``."""
+    rad = ray_radiance(params, scene, camera, cfg, key, ray_ids, accel,
+                       intersect_fn)
+    return jnp.mean((rad - target) ** 2)
+
+
+@partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
+def render_loss_and_grads(params, scene, camera, cfg, key, ray_ids, target,
+                          accel=None, intersect_fn=None):
+    """(loss, grads-dict) — the driver's gradient gate [BASELINE.json:2]."""
+    return jax.value_and_grad(render_loss)(
+        params, scene, camera, cfg, key, ray_ids, target,
+        accel=accel, intersect_fn=intersect_fn)
+
+
+@partial(jax.jit, static_argnames=("cfg", "intersect_fn", "lr"))
+def sgd_step(params, scene, camera, cfg, key, ray_ids, target,
+             lr: float = 0.05, accel=None, intersect_fn=None):
+    """One inverse-rendering SGD step; returns (loss, new_params)."""
+    loss, grads = jax.value_and_grad(render_loss)(
+        params, scene, camera, cfg, key, ray_ids, target,
+        accel=accel, intersect_fn=intersect_fn)
+    new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
+                                        grads)
+    return loss, new_params

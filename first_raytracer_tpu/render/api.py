@@ -28,17 +28,17 @@ DEFAULT_CHUNK = 1 << 17
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
 def render_ray_batch(scene, camera: Camera, cfg: RenderConfig, key, ray_ids,
-                     intersect_fn: Optional[Callable] = None):
+                     accel=None, intersect_fn: Optional[Callable] = None):
     """Radiance for one batch of global ray ids; (R,) i32 -> (R, 3) f32."""
     cam_u = rng.camera_uniforms(key, ray_ids)
     origin, direction = generate_rays(
         camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
     return trace_rays(scene, origin, direction, ray_ids, key, cfg,
-                      intersect_fn=intersect_fn)
+                      accel=accel, intersect_fn=intersect_fn)
 
 
 def render_image(scene, camera: Camera, cfg: RenderConfig, seed: int = 0,
-                 intersect_fn: Optional[Callable] = None,
+                 accel=None, intersect_fn: Optional[Callable] = None,
                  chunk: Optional[int] = None):
     """Render the full image; returns (ny, nx, 3) linear radiance, row 0 = top.
 
@@ -55,7 +55,7 @@ def render_image(scene, camera: Camera, cfg: RenderConfig, seed: int = 0,
         # render garbage rays that are sliced off below.
         ids = jnp.minimum(ids, total - 1)
         pieces.append(render_ray_batch(
-            scene, camera, cfg, key, ids, intersect_fn))
+            scene, camera, cfg, key, ids, accel, intersect_fn))
     radiance = jnp.concatenate(pieces, axis=0)[:total]
     img = radiance.reshape(cfg.ny, cfg.nx, cfg.spp, 3).mean(axis=2)
     return img[::-1]  # bottom-up scanlines -> conventional top-down

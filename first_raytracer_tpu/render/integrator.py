@@ -77,6 +77,22 @@ def sky_color(direction):
     return (1.0 - t)[:, None] * white + t[:, None] * blue
 
 
+def default_intersect(scene, accel, origin, direction, t_min):
+    """Dispatch: brute force without an accel, BVH walk with one.
+
+    The BVH traversal runs under ``stop_gradient`` — it only *finds* the
+    primitive; the integrator recomputes the differentiable hit record from
+    the id (visibility/silhouette gradients are out of scope by design,
+    SURVEY.md §7 step 6) — and its while_loop must never see AD tracers.
+    """
+    if accel is None:
+        return intersect_brute(scene, origin, direction, t_min)
+    from ..accel.traverse import intersect_bvh
+    sg = jax.lax.stop_gradient
+    return intersect_bvh(sg(scene), sg(accel), sg(origin), sg(direction),
+                         t_min)
+
+
 def intersect_brute(scene, origin, direction, t_min):
     """Dense closest-hit over every (ray, primitive) pair.
 
@@ -140,20 +156,28 @@ def recompute_hit(scene, origin, direction, prim, t_min):
 
 
 def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
-               intersect_fn: Optional[Callable] = None):
+               accel=None, intersect_fn: Optional[Callable] = None,
+               return_stats: bool = False):
     """Trace R primary rays to completion; returns (R, 3) radiance.
 
-    ``intersect_fn(scene, origin, direction, t_min) -> (prim, t, hit)``
-    defaults to the brute-force closest hit.
+    ``intersect_fn(scene, accel, origin, direction, t_min) ->
+    (prim, t, hit)`` defaults to ``default_intersect`` (brute force without
+    an accel pytree, flat-BVH walk with one).
+
+    With ``return_stats=True`` also returns ``segments``: (R,) i32 count of
+    ray segments traced per path (occupancy/rays-per-second accounting,
+    SURVEY.md §5.5).
     """
     if intersect_fn is None:
-        intersect_fn = intersect_brute
+        intersect_fn = default_intersect
     R = origin.shape[0]
     f32 = jnp.float32
 
     def bounce(d, state):
-        origin, direction, throughput, radiance, alive = state
-        prim, _, hit = intersect_fn(scene, origin, direction, cfg.t_min)
+        origin, direction, throughput, radiance, alive, segments = state
+        segments = segments + alive.astype(jnp.int32)
+        prim, _, hit = intersect_fn(scene, accel, origin, direction,
+                                    cfg.t_min)
         t, p, n, mat = recompute_hit(scene, origin, direction, prim, cfg.t_min)
         # The recompute is the authority on whether the chosen primitive
         # really hits (keeps every intersector consistent with the
@@ -180,11 +204,11 @@ def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
                                throughput)
         origin = jnp.where(cont[:, None], p, origin)
         direction = jnp.where(cont[:, None], new_dir, direction)
-        return origin, direction, throughput, radiance, cont
+        return origin, direction, throughput, radiance, cont, segments
 
     init = (origin, direction,
             jnp.ones((R, 3), f32), jnp.zeros((R, 3), f32),
-            jnp.ones((R,), bool))
+            jnp.ones((R,), bool), jnp.zeros((R,), jnp.int32))
 
     if cfg.differentiable:
         # Fixed-trip scan: reverse-mode differentiable, identical masked math.
@@ -203,4 +227,6 @@ def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
 
         _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), init))
 
+    if return_stats:
+        return state[3], state[5]
     return state[3]

@@ -1,0 +1,102 @@
+"""Progressive rendering with checkpoint/resume (SURVEY.md §5.3/§5.4).
+
+The reference streams the image to stdout; a killed run is lost.  Here the
+complete resumable state is tiny and explicit — accumulated per-pixel
+radiance sums, the per-pixel sample count, the seed, and the next sample
+index — because the counter RNG makes sample ``s`` of pixel ``p``
+reproducible in isolation.  Preemption recovery is therefore just
+"continue the sample loop"; a corrupt/partial tile could be re-rendered by
+id range (deterministic tile-based recovery).
+
+Checkpoints are plain ``.npz`` (dependency-free, inspectable); cadence is
+every ``checkpoint_every`` sample-batches.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import rng
+from .api import render_ray_batch
+from .integrator import RenderConfig
+
+__all__ = ["ProgressiveState", "progressive_render"]
+
+
+@dataclasses.dataclass
+class ProgressiveState:
+    """Resumable accumulator."""
+
+    radiance_sum: np.ndarray  # (npix, 3) f64 accumulation
+    samples_done: int         # samples per pixel completed
+    seed: int
+
+    def image(self, cfg: RenderConfig):
+        img = (self.radiance_sum / max(self.samples_done, 1)).astype(
+            np.float32)
+        return img.reshape(cfg.ny, cfg.nx, 3)[::-1]
+
+    def save(self, path):
+        tmp = f"{path}.tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez(f, radiance_sum=self.radiance_sum,
+                     samples_done=self.samples_done, seed=self.seed)
+        os.replace(tmp, path)  # atomic: a preempted save never corrupts
+
+    @classmethod
+    def load(cls, path):
+        z = np.load(path)
+        return cls(radiance_sum=z["radiance_sum"],
+                   samples_done=int(z["samples_done"]),
+                   seed=int(z["seed"]))
+
+    @classmethod
+    def fresh(cls, cfg: RenderConfig, seed: int):
+        return cls(radiance_sum=np.zeros((cfg.num_pixels, 3), np.float64),
+                   samples_done=0, seed=seed)
+
+
+def progressive_render(scene, camera, cfg: RenderConfig, seed: int = 0,
+                       accel=None, checkpoint_path: Optional[str] = None,
+                       checkpoint_every: int = 4,
+                       samples_per_batch: int = 1,
+                       on_batch: Optional[Callable] = None):
+    """Render ``cfg.spp`` samples in resumable batches.
+
+    Returns the final (ny, nx, 3) image.  If ``checkpoint_path`` exists the
+    render resumes from it; the finished result is bit-identical to a
+    non-progressive render with the same seed (same ray ids, same keys).
+    """
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        state = ProgressiveState.load(checkpoint_path)
+        if state.seed != seed:
+            raise ValueError(
+                f"checkpoint seed {state.seed} != requested {seed}")
+    else:
+        state = ProgressiveState.fresh(cfg, seed)
+
+    key = rng.base_key(seed)
+    npix = cfg.num_pixels
+    batches_done = 0
+    while state.samples_done < cfg.spp:
+        n_s = min(samples_per_batch, cfg.spp - state.samples_done)
+        # Global ray ids for samples [done, done + n_s) of every pixel.
+        pix = np.arange(npix, dtype=np.int64)[:, None]
+        smp = np.arange(state.samples_done,
+                        state.samples_done + n_s)[None, :]
+        ids = jnp.asarray((pix * cfg.spp + smp).reshape(-1), jnp.int32)
+        rad = np.asarray(render_ray_batch(scene, camera, cfg, key, ids,
+                                          accel))
+        state.radiance_sum += rad.reshape(npix, n_s, 3).sum(axis=1)
+        state.samples_done += n_s
+        batches_done += 1
+        if on_batch is not None:
+            on_batch(state)
+        if checkpoint_path and (batches_done % checkpoint_every == 0
+                                or state.samples_done >= cfg.spp):
+            state.save(checkpoint_path)
+    return state.image(cfg)

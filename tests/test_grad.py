@@ -1,0 +1,124 @@
+"""Gradient tests (SURVEY.md §4.4, BASELINE.json:2 'gradient allclose'):
+jax.grad through the wavefront loop vs central finite differences of the
+SAME renderer at the same RNG keys, for every parameter family the
+north-star names (albedo, fuzz, IOR, sphere centers, radii), plus BVH-path
+gradients and a convergent inverse-rendering step."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from first_raytracer_tpu.accel.build import build_bvh
+from first_raytracer_tpu.core import rng
+from first_raytracer_tpu.diff.grad import (render_loss, render_loss_and_grads,
+                                           sgd_step, split_params)
+from first_raytracer_tpu.scene.builders import three_spheres
+
+# Moderate depth keeps FD noise manageable; semantics identical.
+CFG_KW = dict(nx=12, ny=6, spp=2)
+MAX_DEPTH = 8
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene, cam, cfg = three_spheres(**CFG_KW)
+    cfg = dataclasses.replace(cfg, max_depth=MAX_DEPTH)
+    key = rng.base_key(0)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+    target = jnp.zeros((cfg.num_rays, 3), jnp.float32)
+    return scene, cam, cfg, key, ids, target
+
+
+def _fd_vs_ad(setup, field, index, h, rtol, accel=None):
+    scene, cam, cfg, key, ids, target = setup
+    params, _ = split_params(scene, fields=(field,))
+    loss, grads = render_loss_and_grads(
+        params, scene, cam, cfg, key, ids, target, accel)
+    g_ad = float(np.asarray(grads[field])[index])
+
+    def loss_at(v):
+        arr = np.asarray(params[field]).copy()
+        arr[index] = v
+        return float(render_loss({field: jnp.asarray(arr)}, scene, cam, cfg,
+                                 key, ids, target, accel))
+
+    v0 = float(np.asarray(params[field])[index])
+    g_fd = (loss_at(v0 + h) - loss_at(v0 - h)) / (2 * h)
+    assert np.isfinite(loss)
+    np.testing.assert_allclose(g_ad, g_fd, rtol=rtol, atol=1e-5)
+    return g_ad
+
+
+def test_grad_albedo_matches_fd(setup):
+    # Center diffuse sphere's blue channel — smooth in albedo.
+    g = _fd_vs_ad(setup, "albedo", (1, 2), h=1e-3, rtol=2e-2)
+    assert g != 0.0
+
+
+def test_grad_fuzz_matches_fd(setup):
+    g = _fd_vs_ad(setup, "fuzz", (2,), h=1e-3, rtol=5e-2)
+    assert g != 0.0
+
+
+def test_grad_ref_idx_matches_fd(setup):
+    _fd_vs_ad(setup, "ref_idx", (3,), h=1e-3, rtol=5e-2)
+
+
+def test_grad_sphere_center_matches_fd(setup):
+    # y-coordinate of the big lambertian center sphere.
+    g = _fd_vs_ad(setup, "sphere_center", (1, 1), h=1e-3, rtol=5e-2)
+    assert g != 0.0
+
+
+def test_grad_sphere_radius_matches_fd(setup):
+    _fd_vs_ad(setup, "sphere_radius", (1,), h=1e-3, rtol=5e-2)
+
+
+def test_grad_through_bvh_matches_brute(setup):
+    """BVH traversal is stop_gradient'd; grads must equal the brute-force
+    path (same primitive selection => same differentiable hit recompute)."""
+    scene, cam, cfg, key, ids, target = setup
+    params, _ = split_params(scene, fields=("albedo", "sphere_center"))
+    _, g_brute = render_loss_and_grads(
+        params, scene, cam, cfg, key, ids, target, None)
+    bvh = build_bvh(scene)
+    _, g_bvh = render_loss_and_grads(
+        params, scene, cam, cfg, key, ids, target, bvh)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(g_brute[k]),
+                                   np.asarray(g_bvh[k]),
+                                   rtol=1e-4, atol=1e-7)
+
+
+def test_inverse_rendering_recovers_albedo(setup):
+    """Perturb the center sphere's albedo; SGD on the pixel loss must pull it
+    back toward the true value (end-to-end differentiability demo)."""
+    scene, cam, cfg, key, ids, _ = setup
+    from first_raytracer_tpu.diff.grad import ray_radiance
+    true_params, _ = split_params(scene, fields=("albedo",))
+    target = ray_radiance(true_params, scene, cam, cfg, key, ids)
+
+    albedo0 = np.asarray(true_params["albedo"]).copy()
+    albedo = albedo0.copy()
+    albedo[1] = [0.5, 0.5, 0.1]  # wrong color for the center sphere
+    params = {"albedo": jnp.asarray(albedo)}
+    err0 = float(np.abs(np.asarray(params["albedo"])[1] - albedo0[1]).sum())
+    for _ in range(30):
+        loss, params = sgd_step(params, scene, cam, cfg, key, ids, target,
+                                lr=2.0)
+    err1 = float(np.abs(np.asarray(params["albedo"])[1] - albedo0[1]).sum())
+    assert err1 < 0.3 * err0, (err0, err1, float(loss))
+
+
+def test_scan_matches_while_forward(setup):
+    """differentiable=True (scan) and False (while_loop) produce identical
+    radiance — the masked math is the same."""
+    scene, cam, cfg, key, ids, _ = setup
+    from first_raytracer_tpu.diff.grad import ray_radiance
+    from first_raytracer_tpu.render.api import render_ray_batch
+    params, _ = split_params(scene, fields=())
+    rad_scan = np.asarray(ray_radiance(params, scene, cam, cfg, key, ids))
+    rad_while = np.asarray(render_ray_batch(scene, cam, cfg, key, ids))
+    np.testing.assert_allclose(rad_scan, rad_while, atol=1e-6)

@@ -1,0 +1,55 @@
+"""Native C++ BVH builder: bit-equality with the NumPy builder and
+traversal correctness (SURVEY.md §2 native-component mandate)."""
+import subprocess
+
+import numpy as np
+import pytest
+
+from first_raytracer_tpu.accel import native
+from first_raytracer_tpu.accel.build import build_bvh
+from first_raytracer_tpu.scene.builders import random_scene, triangle_scene
+from first_raytracer_tpu.scene.soa import SceneBuilder
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_lib():
+    if not native.available():
+        subprocess.run(["make", "-C", "native"], check=True,
+                       cwd=native.lib_path().rsplit("/native/", 1)[0])
+        native._TRIED = False  # re-probe
+    assert native.available()
+
+
+def _scene(n, seed):
+    r = np.random.RandomState(seed)
+    b = SceneBuilder()
+    m = b.lambertian((0.5, 0.5, 0.5))
+    for _ in range(n):
+        b.sphere(r.randn(3) * 4, 0.2 + r.rand(), m)
+    return b.build()
+
+
+@pytest.mark.parametrize("n,seed,sah", [(1, 0, True), (5, 1, True),
+                                        (64, 2, True), (64, 2, False),
+                                        (500, 3, True)])
+def test_native_matches_numpy(n, seed, sah):
+    scene = _scene(n, seed)
+    a = build_bvh(scene, max_leaf=4, use_sah=sah, backend="numpy")
+    b = build_bvh(scene, max_leaf=4, use_sah=sah, backend="native")
+    for field in ("node_min", "node_max", "node_first", "node_count",
+                  "node_skip", "prim_ids"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, field)), np.asarray(getattr(b, field)),
+            err_msg=field)
+
+
+def test_native_matches_numpy_presets():
+    for preset in (random_scene, triangle_scene):
+        scene = preset()[0]
+        a = build_bvh(scene, max_leaf=4, backend="numpy")
+        b = build_bvh(scene, max_leaf=4, backend="native")
+        for field in ("node_min", "node_max", "node_first", "node_count",
+                      "node_skip", "prim_ids"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(a, field)),
+                np.asarray(getattr(b, field)), err_msg=field)
