@@ -76,6 +76,19 @@ def bounce_uniforms(key, ray_ids, depth):
     return _ray_uniforms_batch(key, ray_ids, depth + 1)
 
 
+_ray_uniforms_batch_var = jax.vmap(ray_uniforms, in_axes=(None, 0, 0))
+
+
+def bounce_uniforms_var(key, ray_ids, depths):
+    """(R, 4) uniforms with a *per-ray* bounce depth.
+
+    Identical values to ``bounce_uniforms`` at matching (id, depth) — used by
+    the regenerative (compacted-pool) integrator where rays in one batch sit
+    at different depths.
+    """
+    return _ray_uniforms_batch_var(key, ray_ids, depths + 1)
+
+
 def unit_disk_sample(u1, u2):
     """Uniform point in the unit disk from two uniforms.
 

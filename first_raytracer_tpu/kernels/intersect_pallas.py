@@ -33,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..geometry.sphere import BIG
 
+# Python-float mirror of BIG: jnp scalars become captured constants inside
+# a pallas kernel, which pallas_call rejects.
+_BIG = 1e30
+
 __all__ = ["intersect_pallas", "pack_scene_pallas", "PallasScenePack"]
 
 # Rays per grid step: (prims_pad x TILE_R) f32 temporaries must fit VMEM.
@@ -91,7 +95,7 @@ def _intersect_kernel(o_ref, d_ref, sph_ref, tri_ref, t_ref, prim_ref, *,
     ox, oy, oz = o_ref[0, :], o_ref[1, :], o_ref[2, :]
     dx, dy, dz = d_ref[0, :], d_ref[1, :], d_ref[2, :]
 
-    t_best = jnp.full(ox.shape, BIG, jnp.float32)
+    t_best = jnp.full(ox.shape, _BIG, jnp.float32)
     prim_best = jnp.zeros(ox.shape, jnp.int32)
 
     if ns:
@@ -110,9 +114,9 @@ def _intersect_kernel(o_ref, d_ref, sph_ref, tri_ref, t_ref, prim_ref, *,
         sq = jnp.sqrt(jnp.where(has_root, disc, 0.0))
         t_near = -b - sq
         t_far = -b + sq
-        near_ok = has_root & (t_near > t_min) & (t_near < BIG)
-        far_ok = has_root & (t_far > t_min) & (t_far < BIG)
-        t_s = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, BIG))
+        near_ok = has_root & (t_near > t_min) & (t_near < _BIG)
+        far_ok = has_root & (t_far > t_min) & (t_far < _BIG)
+        t_s = jnp.where(near_ok, t_near, jnp.where(far_ok, t_far, _BIG))
         t_best = jnp.min(t_s, axis=0)
         prim_best = jnp.argmin(t_s, axis=0).astype(jnp.int32)
 
@@ -137,8 +141,8 @@ def _intersect_kernel(o_ref, d_ref, sph_ref, tri_ref, t_ref, prim_ref, *,
         vv = (dxb * qx + dyb * qy + dzb * qz) * inv_det
         tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
         hit = (ok & (u >= 0.0) & (vv >= 0.0) & (u + vv <= 1.0)
-               & (tt > t_min) & (tt < BIG))
-        t_t = jnp.where(hit, tt, BIG)
+               & (tt > t_min) & (tt < _BIG))
+        t_t = jnp.where(hit, tt, _BIG)
         t_tri = jnp.min(t_t, axis=0)
         p_tri = jnp.argmin(t_t, axis=0).astype(jnp.int32) + ns
         better = t_tri < t_best

@@ -31,7 +31,11 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..core import rng
 from ..render.camera import generate_rays
@@ -63,7 +67,7 @@ def _render_sharded_jit(scene, camera, cfg, mesh, key, ids, accel,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(), P(), P(), P(TILE_AXIS, SPP_AXIS), P()),
              out_specs=P(TILE_AXIS),
-             check_rep=False)
+             check_vma=False)
     def fn(scene, camera, key, ids_block, accel):
         npix_loc, spp_loc = ids_block.shape
         rad = _trace_ids(scene, camera, cfg, key, ids_block.reshape(-1),

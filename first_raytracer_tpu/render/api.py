@@ -39,23 +39,36 @@ def render_ray_batch(scene, camera: Camera, cfg: RenderConfig, key, ray_ids,
 
 def render_image(scene, camera: Camera, cfg: RenderConfig, seed: int = 0,
                  accel=None, intersect_fn: Optional[Callable] = None,
-                 chunk: Optional[int] = None):
+                 chunk: Optional[int] = None, mode: str = "wavefront",
+                 pool_size: int = 1 << 16):
     """Render the full image; returns (ny, nx, 3) linear radiance, row 0 = top.
+
+    mode: "wavefront" (chunked fixed-depth masked loop) or "regenerative"
+    (compacted ray pool with path regeneration — same per-ray math, higher
+    lane occupancy; see render/regenerative.py).
 
     Gamma correction and quantization are in ``render.image`` (the reference
     applies ``sqrt`` + ``int(255.99 * c)`` at output time [E: main.cpp]).
     """
     key = rng.base_key(seed)
     total = cfg.num_rays
-    chunk = min(total, chunk or DEFAULT_CHUNK)
-    pieces = []
-    for start in range(0, total, chunk):
-        ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
-        # The trailing partial chunk keeps its static shape; out-of-range ids
-        # render garbage rays that are sliced off below.
-        ids = jnp.minimum(ids, total - 1)
-        pieces.append(render_ray_batch(
-            scene, camera, cfg, key, ids, accel, intersect_fn))
-    radiance = jnp.concatenate(pieces, axis=0)[:total]
+    if mode == "regenerative":
+        from .regenerative import render_rays_regenerative
+        radiance = render_rays_regenerative(
+            scene, camera, cfg, key, jnp.int32(0), total, accel,
+            intersect_fn, pool_size=min(pool_size, max(total, 256)))
+    elif mode == "wavefront":
+        chunk = min(total, chunk or DEFAULT_CHUNK)
+        pieces = []
+        for start in range(0, total, chunk):
+            ids = jnp.arange(start, start + chunk, dtype=jnp.int32)
+            # The trailing partial chunk keeps its static shape; out-of-range
+            # ids render garbage rays that are sliced off below.
+            ids = jnp.minimum(ids, total - 1)
+            pieces.append(render_ray_batch(
+                scene, camera, cfg, key, ids, accel, intersect_fn))
+        radiance = jnp.concatenate(pieces, axis=0)[:total]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
     img = radiance.reshape(cfg.ny, cfg.nx, cfg.spp, 3).mean(axis=2)
     return img[::-1]  # bottom-up scanlines -> conventional top-down

