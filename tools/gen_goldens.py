@@ -13,6 +13,12 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# sitecustomize preloads jax before this script runs, so the env var alone is
+# too late — override the live config as well.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from first_raytracer_tpu.oracle.cpu_oracle import render_oracle
