@@ -45,7 +45,7 @@ HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 def main():
     scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
-    mode = os.environ.get("BENCH_MODE", "regenerative")
+    mode = os.environ.get("BENCH_MODE", "mega")
     isect = os.environ.get("BENCH_INTERSECT", "pallas")
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
@@ -61,7 +61,18 @@ def main():
     key = rng.base_key(0)
     total = cfg.num_rays
 
-    if mode == "regenerative":
+    if mode == "mega":
+        # Persistent-lane megakernel (kernels/megakernel.py): the whole
+        # tracer in one pallas_call — fastest path by ~12x over the
+        # XLA-orchestrated wavefront loops.
+        from first_raytracer_tpu.kernels.megakernel import (
+            pack_scene_mega, render_pixels_mega)
+        mpack = pack_scene_mega(scene)
+
+        def run():
+            rad, seg = render_pixels_mega(mpack, cam, cfg, key)
+            return rad, seg
+    elif mode == "regenerative":
         def run():
             return render_rays_regenerative(
                 scene, cam, cfg, key, jnp.int32(0), total, accel,
@@ -82,7 +93,8 @@ def main():
         jax.block_until_ready(run())
         best = min(best, time.perf_counter() - t0)
 
-    # True segment count from one instrumented chunked pass (not timed).
+    # True segment count: the megakernel reports it directly; the other
+    # modes run one instrumented chunked pass (not timed).
     import functools
 
     @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -93,11 +105,15 @@ def main():
                              intersect_fn=intersect_fn, return_stats=True)
         return jnp.sum(segs.astype(jnp.int64))
 
-    segments = 0
-    for s in range(0, total, chunk):
-        ids = jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32),
-                          total - 1)
-        segments += int(seg_count(scene, cam, cfg, key, ids, accel))
+    if mode == "mega":
+        import numpy as _np
+        segments = int(_np.asarray(run()[1], _np.int64).sum())
+    else:
+        segments = 0
+        for s in range(0, total, chunk):
+            ids = jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32),
+                              total - 1)
+            segments += int(seg_count(scene, cam, cfg, key, ids, accel))
 
     mpaths = total / best / 1e6
     mrays = segments / best / 1e6

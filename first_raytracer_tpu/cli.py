@@ -52,8 +52,12 @@ def _cmd_render(args):
                                  accel=accel,
                                  checkpoint_path=args.checkpoint,
                                  samples_per_batch=args.batch_spp)
+    elif args.mode == "mega":
+        from .kernels.megakernel import render_image_mega
+        img = render_image_mega(scene, camera, cfg, seed=args.seed)
     else:
-        img = render_image(scene, camera, cfg, seed=args.seed, accel=accel)
+        img = render_image(scene, camera, cfg, seed=args.seed, accel=accel,
+                           mode=args.mode)
     dt = time.perf_counter() - t0
     out = args.out or f"{args.preset}.png"
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
@@ -105,6 +109,12 @@ def main(argv=None):
             sp.add_argument("--out", default="")
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--batch-spp", type=int, default=1)
+            sp.add_argument(
+                "--mode", default="mega",
+                choices=("mega", "wavefront", "regenerative"),
+                help="mega: persistent-lane Pallas megakernel (fastest); "
+                     "wavefront/regenerative: XLA-orchestrated loops "
+                     "(support --bvh and gradients)")
         if name == "bench":
             sp.add_argument("--rays", type=int, default=0)
     args = p.parse_args(argv)

@@ -1,0 +1,633 @@
+"""Pallas TPU megakernel: the entire path tracer in one kernel.
+
+The wavefront integrators (render/integrator.py, render/regenerative.py)
+re-architect the reference's recursive ``color()`` [E: main.cpp]
+(SURVEY.md §3.2) as XLA-orchestrated bounce passes.  Profiling on the real
+chip shows the per-bounce *XLA glue* — material-table gathers in
+``recompute_hit``/``scatter``, the compaction scatters, the radiance
+scatter-add, the RNG/camera ops — costs ~5x the fused intersect kernel
+itself.  This module removes all of it: one ``pallas_call`` traces every
+sample of every pixel to termination.
+
+Design (persistent lanes — the TPU analog of GPU persistent-threads
+megakernels):
+
+- Each kernel *lane* owns ``K`` pixels in a **grid-stride** pattern
+  (lane ``l`` of tile ``g`` owns pixels ``g*T + l + j*L`` for
+  ``j < K``, ``L`` = total lanes) and serially traces their
+  ``K * spp`` samples; when a sample terminates (miss -> sky,
+  absorption, depth cap) the lane immediately regenerates its next
+  camera ray **in-kernel**.  There is no cross-lane communication, so no
+  compaction/scatter at all.
+- The grid-stride mapping is the divergence control: per-lane total
+  bounce counts concentrate around the mean as ``1/sqrt(K * spp)`` and
+  the stride decorrelates the spatially-clustered long paths (glass
+  regions), so the all-lanes-done trip count approaches the mean lane
+  load.  Measured on the final scene [BASELINE.json:8]: lane occupancy
+  33% at K=1 -> 77% at K=32.
+- Each lane accumulates its *current* pixel's radiance in registers and
+  flushes it to the per-pixel output row block on pixel-boundary
+  crossings (a K-way one-hot masked update, ~3% of the intersect sweep's
+  cost); the output block is laid out as ``(3K, T)`` so the flush is a
+  static row write, never a scatter.
+- A ``lax.while_loop`` with an all-lanes-done predicate runs inside the
+  kernel (data-dependent trip count, bounded by ``K * spp *
+  (max_depth + 1)``).
+- Scene tables ride whole in VMEM as plane-major f32 arrays with
+  *pre-resolved* per-primitive material rows (the SoA's mat-id indirection
+  is dereferenced on the host once per scene), so the winner's material is
+  extracted with one-hot masked reductions — no gathers anywhere.
+- RNG is the same counter-based Threefry-2x32-20 as ``core.rng``, computed
+  on uint32 vectors in-kernel.  Draws match ``core.rng`` bit-for-bit, so
+  the megakernel consumes the *identical* random sequence as the
+  wavefront integrators and the oracle.
+
+The only numerical deviation from the pure-JAX path: Mosaic has no
+``cbrt`` primitive, so the ball-sample radius uses ``exp(log(u)/3)`` with
+one Newton step (<=1 ulp from ``jnp.cbrt``); a rare near-silhouette sample
+may diverge, which per-pixel tests bound statistically.
+
+Forward-only by design: gradients go through the pure-JAX integrator
+(diff/grad.py); this kernel is the serving/throughput path
+[BASELINE.json:2 rays/s / Mpaths/s].
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["pack_scene_mega", "MegaScenePack", "render_pixels_mega",
+           "render_image_mega"]
+
+_BIG = 1e30
+TILE = 512
+_LANE = 128
+# Target pixels per lane (grid-stride): higher -> better occupancy,
+# bigger (3K, T) output block and K-way flush loop.  Measured on the
+# final scene: K=32 -> 77% lane occupancy, K=64 -> 86% (the flush cost
+# eats the difference beyond that).
+PIX_PER_LANE = 64
+
+# Threefry-2x32-20 schedule — must match core.rng exactly.
+_ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
+_PARITY = 0x1BD11BDA
+
+# Sphere plane rows (16, Ns_pad):
+#   0-2 center, 3 radius, 4 mat_type, 5 fuzz, 6 ref_idx, 7 tex_type,
+#   8-10 albedo, 11-13 albedo2, 14 tex_scale, 15 1/radius (0 for sentinel).
+_SPH_ROWS = 16
+# Triangle plane rows (24, Nt_pad):
+#   0-2 v0, 3-5 e1, 6-8 e2, 9-11 unit normal, 12 mat_type, 13 fuzz,
+#   14 ref_idx, 15 tex_type, 16-18 albedo, 19-21 albedo2, 22 tex_scale.
+_TRI_ROWS = 24
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class MegaScenePack:
+    """Host-packed scene for the megakernel (material ids pre-resolved)."""
+
+    spheres: jax.Array  # (16, Ns_pad) f32
+    tris: jax.Array     # (24, Nt_pad) f32
+    sphere_rows: int
+    tri_rows: int
+
+
+jax.tree_util.register_dataclass(
+    MegaScenePack, data_fields=("spheres", "tris"),
+    meta_fields=("sphere_rows", "tri_rows"))
+
+
+def pack_scene_mega(scene) -> MegaScenePack:
+    """Repack the SoA scene with per-primitive material rows (host, once).
+
+    Dereferencing ``sphere_mat``/``tri_mat`` here is what lets the kernel
+    shade without a single gather; the reference's pointer-to-material
+    indirection [E: hitable.h mat_ptr] becomes table rows.
+    """
+    s = scene.as_numpy() if hasattr(scene, "as_numpy") else scene
+    ns, nt = s.sphere_center.shape[0], s.tri_v0.shape[0]
+    ns_pad = max(_round_up(ns, _LANE), _LANE)
+    nt_pad = max(_round_up(nt, _LANE), _LANE)
+
+    def mat_rows(mat_ids):
+        m = np.asarray(mat_ids)
+        return np.stack([
+            np.asarray(s.mat_type, np.float32)[m],
+            np.asarray(s.fuzz, np.float32)[m],
+            np.asarray(s.ref_idx, np.float32)[m],
+            np.asarray(s.tex_type, np.float32)[m],
+            *(np.asarray(s.albedo, np.float32)[m, k] for k in range(3)),
+            *(np.asarray(s.albedo2, np.float32)[m, k] for k in range(3)),
+            np.asarray(s.tex_scale, np.float32)[m],
+        ])  # (11, N)
+
+    sph = np.zeros((_SPH_ROWS, ns_pad), np.float32)
+    sph[0:3] = _BIG  # sentinel: never-hit center, radius 0
+    if ns:
+        c = np.asarray(s.sphere_center, np.float32)
+        r = np.asarray(s.sphere_radius, np.float32)
+        sph[0:3, :ns] = c.T
+        sph[3, :ns] = r
+        sph[4:15, :ns] = mat_rows(s.sphere_mat)
+        sph[15, :ns] = np.where(r != 0.0, 1.0 / np.where(r != 0, r, 1.0), 0.0)
+
+    tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
+    if nt:
+        v0 = np.asarray(s.tri_v0, np.float32)
+        e1 = np.asarray(s.tri_v1, np.float32) - v0
+        e2 = np.asarray(s.tri_v2, np.float32) - v0
+        n = np.cross(e1, e2)
+        nn = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.where(nn > 0, nn, 1.0)
+        tri[0:3, :nt] = v0.T
+        tri[3:6, :nt] = e1.T
+        tri[6:9, :nt] = e2.T
+        tri[9:12, :nt] = n.T
+        tri[12:23, :nt] = mat_rows(s.tri_mat)
+    return MegaScenePack(spheres=jnp.asarray(sph), tris=jnp.asarray(tri),
+                         sphere_rows=ns, tri_rows=nt)
+
+
+def _threefry2x32(k0, k1, c0, c1):
+    """Vectorized Threefry-2x32-20 (uint32 in/out) — mirrors core.rng."""
+    u32 = jnp.uint32
+    ks0, ks1 = k0, k1
+    ks2 = ks0 ^ ks1 ^ u32(_PARITY)
+    x0 = c0 + ks0
+    x1 = c1 + ks1
+
+    def rotl(x, r):
+        return (x << u32(r)) | (x >> u32(32 - r))
+
+    ks = (ks0, ks1, ks2)
+    for g in range(5):
+        for j in range(4):
+            x0 = x0 + x1
+            x1 = rotl(x1, _ROTATIONS[(4 * g + j) % 8])
+            x1 = x1 ^ x0
+        x0 = x0 + ks[(g + 1) % 3]
+        x1 = x1 + ks[(g + 2) % 3] + u32(g + 1)
+    return x0, x1
+
+
+def _bits_to_unit(bits):
+    """uint32 -> f32 in [0,1): top 24 bits, identical to core.rng."""
+    return (bits >> jnp.uint32(8)).astype(jnp.int32).astype(
+        jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def _unit3(x, y, z, eps=0.0):
+    """Normalize a 3-vector in component form (mirrors vecmath.normalize)."""
+    n2 = x * x + y * y + z * z
+    if eps:
+        n2 = jnp.maximum(n2, eps)
+    inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _cbrt(x):
+    """cbrt on [0,1) via exp/log + one Newton step (no Mosaic cbrt)."""
+    y = jnp.exp(jnp.log(jnp.maximum(x, 1e-36)) * (1.0 / 3.0))
+    y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
+    return jnp.where(x > 0, y, 0.0)
+
+
+def _mega_kernel(cam_ref, key_ref, sph_ref, tri_ref, rad_ref, seg_ref,
+                 it_ref, *, nx, ny, spp, max_depth, t_min, num_pixels,
+                 ns, nt, tile, k_pix, lanes):
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    T = tile
+    K = k_pix
+    L = lanes            # total lanes across the grid (= G * T)
+    S = K * spp          # samples per lane
+    step = pl.program_id(0)
+    lane = step * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+    k0 = key_ref[0, 0]
+    k1 = key_ref[0, 1]
+
+    # Camera frame scalars (SMEM).
+    co = [cam_ref[0, k] for k in range(3)]       # origin
+    ll = [cam_ref[0, 3 + k] for k in range(3)]   # lower_left
+    hz = [cam_ref[0, 6 + k] for k in range(3)]   # horizontal
+    vt = [cam_ref[0, 9 + k] for k in range(3)]   # vertical
+    cu = [cam_ref[0, 12 + k] for k in range(3)]  # lens u
+    cv = [cam_ref[0, 15 + k] for k in range(3)]  # lens v
+    lens_r = cam_ref[0, 18]
+
+    def pixel_of(s):
+        """Grid-stride pixel for a lane's sample counter (clamped)."""
+        pix = lane + (s // spp) * L
+        return jnp.minimum(pix, num_pixels - 1), pix < num_pixels
+
+    def ray_id(s):
+        pixc, _ = pixel_of(s)
+        return (pixc * spp + s % spp).astype(u32)
+
+    def camera_ray(s, ju, jv, lu, lv):
+        """Mirrors render.camera.generate_rays + rng.unit_disk_sample."""
+        pixc, _ = pixel_of(s)
+        i_f = (pixc % nx).astype(f32)
+        j_f = (pixc // nx).astype(f32)
+        sf = (i_f + ju) * f32(1.0 / nx)
+        tf = (j_f + jv) * f32(1.0 / ny)
+        r = jnp.sqrt(lu)
+        th = f32(2.0 * math.pi) * lv
+        rd0 = lens_r * (r * jnp.cos(th))
+        rd1 = lens_r * (r * jnp.sin(th))
+        ox = co[0] + rd0 * cu[0] + rd1 * cv[0]
+        oy = co[1] + rd0 * cu[1] + rd1 * cv[1]
+        oz = co[2] + rd0 * cu[2] + rd1 * cv[2]
+        dx = ll[0] + sf * hz[0] + tf * vt[0] - ox
+        dy = ll[1] + sf * hz[1] + tf * vt[1] - oy
+        dz = ll[2] + sf * hz[2] + tf * vt[2] - oz
+        dx, dy, dz = _unit3(dx, dy, dz)
+        return ox, oy, oz, dx, dy, dz
+
+    def draws4(c0, dom2):
+        """The 4 uniforms of one RNG domain: two threefry evaluations.
+
+        Matches core.rng._uniforms: words (a0, a1, b0, b1) from counters
+        (id, dom*2) and (id, dom*2 + 1).
+        """
+        a0, a1 = _threefry2x32(k0, k1, c0, dom2)
+        b0, b1 = _threefry2x32(k0, k1, c0, dom2 + u32(1))
+        return (_bits_to_unit(a0), _bits_to_unit(a1),
+                _bits_to_unit(b0), _bits_to_unit(b1))
+
+    # Zero the output block (lanes whose pixels are all invalid never
+    # flush into some rows).
+    rad_ref[:, :] = jnp.zeros((3 * K, T), f32)
+
+    # --- init: sample 0 camera rays ---
+    s0 = jnp.zeros((1, T), i32)
+    rid0 = ray_id(s0)
+    ju0, jv0, lu0, lv0 = draws4(rid0, jnp.zeros_like(rid0))
+    ox, oy, oz, dx, dy, dz = camera_ray(s0, ju0, jv0, lu0, lv0)
+
+    zero = jnp.zeros((1, T), f32)
+    one = jnp.ones((1, T), f32)
+    _, valid0 = pixel_of(s0)
+    samp0 = jnp.where(valid0, 0, S)
+
+    def body(carry):
+        (it, samp, depth, ox, oy, oz, dx, dy, dz,
+         tpx, tpy, tpz, rx, ry, rz, segs) = carry
+        active = samp < S
+        sampc = jnp.minimum(samp, S - 1)
+        rid = ray_id(sampc)
+        dom2 = (depth + 1).astype(u32) * u32(2)
+
+        # Bounce-domain draws + next-sample camera draws.
+        u1, u2, u3, coin = draws4(rid, dom2)
+        nrid = ray_id(jnp.minimum(sampc + 1, S - 1))
+        ju, jv, lu, lv = draws4(nrid, jnp.zeros_like(nrid))
+
+        # ---- intersect: dense sweep, sphere part [E: sphere.h hit] ----
+        t_s = jnp.full((1, T), f32(_BIG))
+        ps = jnp.zeros((1, T), i32)
+        if ns:
+            cx = sph_ref[0, :][:, None]
+            cy = sph_ref[1, :][:, None]
+            cz = sph_ref[2, :][:, None]
+            r = sph_ref[3, :][:, None]
+            ocx = ox - cx           # (Ns_pad, T)
+            ocy = oy - cy
+            ocz = oz - cz
+            bq = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = bq * bq - cq
+            has = disc > 0
+            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            tn = -bq - sq
+            tf_ = -bq + sq
+            nok = has & (tn > t_min) & (tn < _BIG)
+            fok = has & (tf_ > t_min) & (tf_ < _BIG)
+            tall = jnp.where(nok, tn, jnp.where(fok, tf_, f32(_BIG)))
+            t_s = jnp.min(tall, axis=0)[None, :]
+            ps = jnp.argmin(tall, axis=0).astype(i32)[None, :]
+
+        t_t = jnp.full((1, T), f32(_BIG))
+        pt = jnp.zeros((1, T), i32)
+        if nt:
+            v0x = tri_ref[0, :][:, None]
+            v0y = tri_ref[1, :][:, None]
+            v0z = tri_ref[2, :][:, None]
+            e1x = tri_ref[3, :][:, None]
+            e1y = tri_ref[4, :][:, None]
+            e1z = tri_ref[5, :][:, None]
+            e2x = tri_ref[6, :][:, None]
+            e2y = tri_ref[7, :][:, None]
+            e2z = tri_ref[8, :][:, None]
+            px_ = dy * e2z - dz * e2y
+            py_ = dz * e2x - dx * e2z
+            pz_ = dx * e2y - dy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            ok = jnp.abs(det) > 1e-9
+            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > t_min) & (tt < _BIG))
+            tallt = jnp.where(hitm, tt, f32(_BIG))
+            t_t = jnp.min(tallt, axis=0)[None, :]
+            pt = jnp.argmin(tallt, axis=0).astype(i32)[None, :]
+
+        is_tri = t_t < t_s
+        t_best = jnp.where(is_tri, t_t, t_s)
+        hit = active & (t_best < _BIG)
+
+        # ---- payload: one-hot extraction of the winner's rows ----
+        def extract(ref, oh, rows):
+            return [jnp.sum(oh * ref[k, :][:, None], axis=0)[None, :]
+                    for k in rows]
+
+        # material rows: mtype fuzz refidx textype a0(3) a1(3) scale
+        if ns:
+            iota_s = jax.lax.broadcasted_iota(i32, (sph_ref.shape[1], T), 0)
+            oh_s = (iota_s == ps).astype(f32)
+            (scx, scy, scz, sinvr) = extract(sph_ref, oh_s, (0, 1, 2, 15))
+            mat_s = extract(sph_ref, oh_s, range(4, 15))
+        if nt:
+            iota_t = jax.lax.broadcasted_iota(i32, (tri_ref.shape[1], T), 0)
+            oh_t = (iota_t == pt).astype(f32)
+            (tnx, tny, tnz) = extract(tri_ref, oh_t, (9, 10, 11))
+            mat_t = extract(tri_ref, oh_t, range(12, 23))
+
+        px = ox + t_best * dx
+        py = oy + t_best * dy
+        pz = oz + t_best * dz
+        if ns and nt:
+            nxv = jnp.where(is_tri, tnx, (px - scx) * sinvr)
+            nyv = jnp.where(is_tri, tny, (py - scy) * sinvr)
+            nzv = jnp.where(is_tri, tnz, (pz - scz) * sinvr)
+            mat = [jnp.where(is_tri, mt, ms)
+                   for ms, mt in zip(mat_s, mat_t)]
+        elif ns:
+            nxv = (px - scx) * sinvr
+            nyv = (py - scy) * sinvr
+            nzv = (pz - scz) * sinvr
+            mat = mat_s
+        else:
+            nxv, nyv, nzv = tnx, tny, tnz
+            mat = mat_t
+        (mtype, fuzz, ref_idx, textype, a0r, a0g, a0b,
+         a1r, a1g, a1b, tscale) = mat
+
+        # ---- scatter [E: material.h], mirrors materials/scatter.py ----
+        bz = 1.0 - 2.0 * u1
+        br = jnp.sqrt(jnp.maximum(0.0, 1.0 - bz * bz))
+        phi = f32(2.0 * math.pi) * u2
+        brad = _cbrt(u3)
+        balx = brad * (br * jnp.cos(phi))
+        baly = brad * (br * jnp.sin(phi))
+        balz = brad * bz
+
+        lamx, lamy, lamz = _unit3(nxv + balx, nyv + baly, nzv + balz,
+                                  eps=1e-20)
+
+        ddn2 = dx * nxv + dy * nyv + dz * nzv
+        refx = dx - 2.0 * ddn2 * nxv
+        refy = dy - 2.0 * ddn2 * nyv
+        refz = dz - 2.0 * ddn2 * nzv
+        mrx = refx + fuzz * balx
+        mry = refy + fuzz * baly
+        mrz = refz + fuzz * balz
+        metal_ok = (mrx * nxv + mry * nyv + mrz * nzv) > 0.0
+        metx, mety, metz = _unit3(mrx, mry, mrz, eps=1e-20)
+
+        outside = ddn2 > 0.0
+        ownx = jnp.where(outside, -nxv, nxv)
+        owny = jnp.where(outside, -nyv, nyv)
+        ownz = jnp.where(outside, -nzv, nzv)
+        ni = jnp.where(outside, ref_idx, 1.0 / ref_idx)
+        cosine = jnp.where(outside, ref_idx * ddn2, -ddn2)
+        # refract(): uv = unit(d) (d already unit; renormalize to match)
+        uvx, uvy, uvz = _unit3(dx, dy, dz)
+        dt = uvx * ownx + uvy * owny + uvz * ownz
+        disc2 = 1.0 - ni * ni * (1.0 - dt * dt)
+        can = disc2 > 0
+        sq2 = jnp.sqrt(jnp.where(can, disc2, 0.0))
+        rfx = jnp.where(can, ni * (uvx - ownx * dt) - ownx * sq2, 0.0)
+        rfy = jnp.where(can, ni * (uvy - owny * dt) - owny * sq2, 0.0)
+        rfz = jnp.where(can, ni * (uvz - ownz * dt) - ownz * sq2, 0.0)
+        r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+        r0 = r0 * r0
+        om = 1.0 - cosine
+        om2 = om * om
+        schl = r0 + (1.0 - r0) * (om2 * om2 * om)
+        rprob = jnp.where(can, schl, 1.0)
+        use_refl = coin < rprob
+        rux, ruy, ruz = _unit3(refx, refy, refz, eps=1e-20)
+        fux, fuy, fuz = _unit3(rfx, rfy, rfz, eps=1e-20)
+        dielx = jnp.where(use_refl, rux, fux)
+        diely = jnp.where(use_refl, ruy, fuy)
+        dielz = jnp.where(use_refl, ruz, fuz)
+
+        # texture [E: texture.h checker]
+        sines = (jnp.sin(tscale * px) * jnp.sin(tscale * py)
+                 * jnp.sin(tscale * pz))
+        odd = sines < 0.0
+        is_check = textype == 1.0
+        texr = jnp.where(is_check & odd, a1r, a0r)
+        texg = jnp.where(is_check & odd, a1g, a0g)
+        texb = jnp.where(is_check & odd, a1b, a0b)
+
+        is_metal = mtype == 1.0
+        is_diel = mtype == 2.0
+        ndx = jnp.where(is_diel, dielx, jnp.where(is_metal, metx, lamx))
+        ndy = jnp.where(is_diel, diely, jnp.where(is_metal, mety, lamy))
+        ndz = jnp.where(is_diel, dielz, jnp.where(is_metal, metz, lamz))
+        attr = jnp.where(is_diel, 1.0, texr)
+        attg = jnp.where(is_diel, 1.0, texg)
+        attb = jnp.where(is_diel, 1.0, texb)
+        sok = metal_ok | ~is_metal  # == where(is_metal, metal_ok, True)
+
+        cont = hit & sok & (depth < max_depth)
+        miss_now = active & ~hit
+        skyt = 0.5 * (dy + 1.0)
+        rx = rx + jnp.where(miss_now, tpx * ((1.0 - skyt) + skyt * 0.5), 0.0)
+        ry = ry + jnp.where(miss_now, tpy * ((1.0 - skyt) + skyt * 0.7), 0.0)
+        rz = rz + jnp.where(miss_now, tpz * ((1.0 - skyt) + skyt * 1.0), 0.0)
+
+        tpx = jnp.where(cont, tpx * attr, tpx)
+        tpy = jnp.where(cont, tpy * attg, tpy)
+        tpz = jnp.where(cont, tpz * attb, tpz)
+        ox = jnp.where(cont, px, ox)
+        oy = jnp.where(cont, py, oy)
+        oz = jnp.where(cont, pz, oz)
+        dx = jnp.where(cont, ndx, dx)
+        dy = jnp.where(cont, ndy, dy)
+        dz = jnp.where(cont, ndz, dz)
+        depth = jnp.where(cont, depth + 1, depth)
+        segs = segs + jnp.where(active, 1, 0)
+
+        # ---- pixel-boundary flush + in-lane sample regeneration ----
+        term = active & ~cont
+        samp_new = jnp.where(term, samp + 1, samp)
+        crossed = term & (samp_new % spp == 0)
+        j_cur = sampc // spp
+        for jj in range(K):
+            m = crossed & (j_cur == jj)
+            rad_ref[3 * jj, :] = rad_ref[3 * jj, :] + jnp.where(
+                m, rx, zero)[0, :]
+            rad_ref[3 * jj + 1, :] = rad_ref[3 * jj + 1, :] + jnp.where(
+                m, ry, zero)[0, :]
+            rad_ref[3 * jj + 2, :] = rad_ref[3 * jj + 2, :] + jnp.where(
+                m, rz, zero)[0, :]
+        rx = jnp.where(crossed, 0.0, rx)
+        ry = jnp.where(crossed, 0.0, ry)
+        rz = jnp.where(crossed, 0.0, rz)
+
+        _, next_valid = pixel_of(jnp.minimum(samp_new, S - 1))
+        # Grid-stride pixels are increasing in j: once out of range, all
+        # later pixels are too -> the lane is done.
+        samp = jnp.where(term & ~next_valid, S, samp_new)
+        regen = term & (samp < S)
+        cox, coy, coz, cdx, cdy, cdz = camera_ray(
+            jnp.minimum(samp, S - 1), ju, jv, lu, lv)
+        ox = jnp.where(regen, cox, ox)
+        oy = jnp.where(regen, coy, oy)
+        oz = jnp.where(regen, coz, oz)
+        dx = jnp.where(regen, cdx, dx)
+        dy = jnp.where(regen, cdy, dy)
+        dz = jnp.where(regen, cdz, dz)
+        tpx = jnp.where(regen, 1.0, tpx)
+        tpy = jnp.where(regen, 1.0, tpy)
+        tpz = jnp.where(regen, 1.0, tpz)
+        depth = jnp.where(regen, 0, depth)
+        return (it + 1, samp, depth, ox, oy, oz, dx, dy, dz,
+                tpx, tpy, tpz, rx, ry, rz, segs)
+
+    max_it = S * (max_depth + 1) + 2
+
+    def cond(carry):
+        return (carry[0] < max_it) & jnp.any(carry[1] < S)
+
+    init = (jnp.int32(0), samp0, jnp.zeros((1, T), i32),
+            ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+            jnp.zeros((1, T), i32))
+    final = jax.lax.while_loop(cond, body, init)
+    seg_ref[0, :] = final[15][0, :]
+    # Per-tile bounce-loop trips, broadcast across the lane block
+    # (occupancy metric; host reads one lane per tile).
+    it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "t_min",
+                              "ns", "nt", "interpret", "tile", "k_pix"))
+def _mega_call(cam, key, sph, tri, *, nx, ny, spp, max_depth, t_min,
+               ns, nt, interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
+    num_pixels = nx * ny
+    n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
+    lanes = n_tiles * tile
+    k_pix = min(k_pix, -(-num_pixels // lanes) if lanes else 1)
+    k_pix = max(1, -(-num_pixels // lanes))
+    grid = (n_tiles,)
+    kernel = functools.partial(
+        _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
+        t_min=t_min, num_pixels=num_pixels, ns=ns, nt=nt, tile=tile,
+        k_pix=k_pix, lanes=lanes)
+    rad, seg, its = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((_SPH_ROWS, sph.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TRI_ROWS, tri.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3 * k_pix, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * k_pix, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+        ),
+        interpret=interpret,
+    )(cam, key, sph, tri)
+    # (3K, L) row blocks -> (K*L, 3) where flat index j*L + lane == pixel.
+    rad = rad.reshape(k_pix, 3, lanes).transpose(0, 2, 1).reshape(-1, 3)
+    return rad[:num_pixels], seg, its
+
+
+def _cam_smem(camera):
+    return jnp.concatenate([
+        jnp.asarray(camera.origin, jnp.float32).reshape(3),
+        jnp.asarray(camera.lower_left, jnp.float32).reshape(3),
+        jnp.asarray(camera.horizontal, jnp.float32).reshape(3),
+        jnp.asarray(camera.vertical, jnp.float32).reshape(3),
+        jnp.asarray(camera.u, jnp.float32).reshape(3),
+        jnp.asarray(camera.v, jnp.float32).reshape(3),
+        jnp.asarray(camera.lens_radius, jnp.float32).reshape(1),
+        jnp.zeros((1,), jnp.float32),
+    ]).reshape(1, 20)
+
+
+def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
+                       interpret: bool = False, tile: int = TILE,
+                       k_pix: int = PIX_PER_LANE,
+                       return_iters: bool = False):
+    """Render all pixels; returns (radiance_sum (P, 3), segments (L,) i32).
+
+    ``radiance_sum`` is the per-pixel sum over spp samples (divide by spp
+    for the mean); ``segments`` counts traced path segments per *lane*
+    (each lane covers ``k_pix`` grid-strided pixels; sum() is the total —
+    rays/s accounting, SURVEY.md §5.5).  With ``return_iters`` also
+    returns per-tile bounce-loop trip counts: lane occupancy =
+    segments.sum() / (iters.sum() * tile).
+    """
+    cam = _cam_smem(camera)
+    key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    rad, seg, its = _mega_call(
+        cam, key, pack.spheres, pack.tris, nx=cfg.nx, ny=cfg.ny,
+        spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+        ns=pack.sphere_rows, nt=pack.tri_rows, interpret=interpret,
+        tile=tile, k_pix=k_pix)
+    if return_iters:
+        return rad, seg[0], its[0, ::tile]
+    return rad, seg[0]
+
+
+def render_image_mega(scene, camera, cfg, seed: int = 0,
+                      interpret: bool = False, tile: int = TILE,
+                      k_pix: int = PIX_PER_LANE):
+    """Full-image render via the megakernel; (ny, nx, 3) linear, top-down.
+
+    Drop-in alternative to ``render.api.render_image`` (same RNG stream,
+    same radiance semantics — per-pixel mean over spp, rows flipped).
+    """
+    from ..core import rng
+
+    pack = pack_scene_mega(scene)
+    key = rng.base_key(seed)
+    rad, _ = render_pixels_mega(pack, camera, cfg, key, interpret=interpret,
+                                tile=tile, k_pix=k_pix)
+    img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
+    return img[::-1]
