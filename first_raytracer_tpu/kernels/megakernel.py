@@ -64,7 +64,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["pack_scene_mega", "MegaScenePack", "render_pixels_mega",
-           "render_image_mega"]
+           "render_image_mega", "render_image_mega_sharded"]
 
 _BIG = 1e30
 TILE = 512
@@ -203,9 +203,9 @@ def _cbrt(x):
     return jnp.where(x > 0, y, 0.0)
 
 
-def _mega_kernel(cam_ref, key_ref, sph_ref, tri_ref, rad_ref, seg_ref,
-                 it_ref, *, nx, ny, spp, max_depth, t_min, num_pixels,
-                 ns, nt, tile, k_pix, lanes):
+def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
+                 seg_ref, it_ref, *, nx, ny, spp, max_depth, t_min,
+                 num_pixels, total_pixels, ns, nt, tile, k_pix, lanes):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -213,6 +213,7 @@ def _mega_kernel(cam_ref, key_ref, sph_ref, tri_ref, rad_ref, seg_ref,
     S = K * spp          # samples per lane
     step = pl.program_id(0)
     lane = step * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
+    pix0 = pix0_ref[0, 0]  # global pixel offset of this shard (0 unsharded)
     k0 = key_ref[0, 0]
     k1 = key_ref[0, 1]
 
@@ -226,9 +227,16 @@ def _mega_kernel(cam_ref, key_ref, sph_ref, tri_ref, rad_ref, seg_ref,
     lens_r = cam_ref[0, 18]
 
     def pixel_of(s):
-        """Grid-stride pixel for a lane's sample counter (clamped)."""
-        pix = lane + (s // spp) * L
-        return jnp.minimum(pix, num_pixels - 1), pix < num_pixels
+        """Grid-stride *global* pixel for a lane's sample counter.
+
+        ``num_pixels`` is this shard's local pixel count; the returned id
+        is global (``pix0`` offset), which keys the RNG and the camera so
+        a sharded render is bit-identical to the single-device one.
+        """
+        loc = lane + (s // spp) * L
+        pix = pix0 + loc
+        valid = (loc < num_pixels) & (pix < total_pixels)
+        return jnp.minimum(pix, total_pixels - 1), valid
 
     def ray_id(s):
         pixc, _ = pixel_of(s)
@@ -531,25 +539,34 @@ def _mega_kernel(cam_ref, key_ref, sph_ref, tri_ref, rad_ref, seg_ref,
     it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("nx", "ny", "spp", "max_depth", "t_min",
-                              "ns", "nt", "interpret", "tile", "k_pix"))
-def _mega_call(cam, key, sph, tri, *, nx, ny, spp, max_depth, t_min,
-               ns, nt, interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
-    num_pixels = nx * ny
+def _mega_call(cam, key, sph, tri, pix0=None, *, nx, ny, spp, max_depth,
+               t_min, ns, nt, num_pixels=None, total_pixels=None,
+               interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
+    """Launch the kernel over ``num_pixels`` local pixels.
+
+    ``pix0`` (traced (1,1) i32) offsets local pixel indices to global ids
+    — the sharding hook: each mesh device renders its contiguous pixel
+    block with globally-keyed RNG.  Unsharded: pix0=0, num_pixels=nx*ny.
+    """
+    if num_pixels is None:
+        num_pixels = nx * ny
+    if total_pixels is None:
+        total_pixels = nx * ny
+    if pix0 is None:
+        pix0 = jnp.zeros((1, 1), jnp.int32)
     n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
     lanes = n_tiles * tile
-    k_pix = min(k_pix, -(-num_pixels // lanes) if lanes else 1)
     k_pix = max(1, -(-num_pixels // lanes))
     grid = (n_tiles,)
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
-        t_min=t_min, num_pixels=num_pixels, ns=ns, nt=nt, tile=tile,
-        k_pix=k_pix, lanes=lanes)
+        t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
+        ns=ns, nt=nt, tile=tile, k_pix=k_pix, lanes=lanes)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_SPH_ROWS, sph.shape[1]), lambda i: (0, 0),
@@ -571,10 +588,17 @@ def _mega_call(cam, key, sph, tri, *, nx, ny, spp, max_depth, t_min,
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
         ),
         interpret=interpret,
-    )(cam, key, sph, tri)
-    # (3K, L) row blocks -> (K*L, 3) where flat index j*L + lane == pixel.
+    )(cam, key, pix0, sph, tri)
+    # (3K, L) row blocks -> (K*L, 3): flat index j*L + lane == local pixel.
     rad = rad.reshape(k_pix, 3, lanes).transpose(0, 2, 1).reshape(-1, 3)
     return rad[:num_pixels], seg, its
+
+
+_mega_jit = jax.jit(
+    _mega_call,
+    static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
+                     "num_pixels", "total_pixels", "interpret", "tile",
+                     "k_pix"))
 
 
 def _cam_smem(camera):
@@ -605,7 +629,7 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
     """
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
-    rad, seg, its = _mega_call(
+    rad, seg, its = _mega_jit(
         cam, key, pack.spheres, pack.tris, nx=cfg.nx, ny=cfg.ny,
         spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         ns=pack.sphere_rows, nt=pack.tri_rows, interpret=interpret,
@@ -629,5 +653,56 @@ def render_image_mega(scene, camera, cfg, seed: int = 0,
     key = rng.base_key(seed)
     rad, _ = render_pixels_mega(pack, camera, cfg, key, interpret=interpret,
                                 tile=tile, k_pix=k_pix)
+    img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
+    return img[::-1]
+
+
+def render_image_mega_sharded(scene, camera, cfg, mesh, seed: int = 0,
+                              interpret: bool = False, tile: int = TILE,
+                              k_pix: int = PIX_PER_LANE):
+    """Mesh-sharded megakernel render; (ny, nx, 3) linear, top-down.
+
+    Data-parallel over the mesh's ``tiles`` axis (SURVEY.md §2.2 DP row):
+    each device runs the megakernel on a contiguous block of pixels with
+    the shared globally-keyed RNG, so the result is bit-identical to the
+    single-device megakernel render regardless of device count.  Scene
+    tables and camera are replicated; the only collective is the output
+    all-gather implied by the ``P(TILE_AXIS)`` out-spec.  (spp sharding
+    lives in parallel/shard.py's wavefront path; the megakernel keeps a
+    pixel's samples on one lane by design.)
+    """
+    from functools import partial as _partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core import rng
+    from ..parallel.mesh import TILE_AXIS
+
+    pack = pack_scene_mega(scene)
+    key = jnp.asarray(rng.base_key(seed), jnp.uint32).reshape(1, 2)
+    cam = _cam_smem(camera)
+    n_shards = mesh.shape[TILE_AXIS]
+    total = cfg.num_pixels
+    p_local = -(-total // n_shards)
+
+    @_partial(jax.jit, static_argnames=())
+    @_partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
+              out_specs=P(TILE_AXIS), check_vma=False)
+    def run(cam, key, sph, tri):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        pix0 = jnp.full((1, 1), idx * p_local, jnp.int32)
+        rad, _, _ = _mega_call(
+            cam, key, sph, tri, pix0, nx=cfg.nx, ny=cfg.ny, spp=cfg.spp,
+            max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+            ns=pack.sphere_rows, nt=pack.tri_rows,
+            num_pixels=p_local, total_pixels=total,
+            interpret=interpret, tile=tile, k_pix=k_pix)
+        return rad
+
+    rad = run(cam, key, pack.spheres, pack.tris)[:total]
     img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
     return img[::-1]

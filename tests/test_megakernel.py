@@ -67,3 +67,22 @@ def test_megakernel_segment_counts():
     pack = pack_scene_mega(scene)
     _, segs = render_pixels_mega(pack, cam, cfg, key, interpret=True)
     assert int(np.asarray(segs).sum()) == int(np.asarray(segs_ref).sum())
+
+
+def test_megakernel_sharded_matches_single():
+    """8-device tiles mesh == single-device megakernel, bit-identical.
+
+    Sharding invariance (SURVEY.md §4.5c): RNG keyed by global ray id, so
+    the pixel blocks are computed identically wherever they land.
+    """
+    from first_raytracer_tpu.kernels.megakernel import (
+        render_image_mega_sharded)
+    from first_raytracer_tpu.parallel.mesh import make_render_mesh
+
+    scene, cam, cfg = three_spheres(nx=40, ny=8, spp=2)
+    mesh = make_render_mesh(8, 1)
+    single = np.asarray(render_image_mega(scene, cam, cfg, interpret=True,
+                                          tile=128, k_pix=2))
+    sharded = np.asarray(render_image_mega_sharded(
+        scene, cam, cfg, mesh, interpret=True, tile=128, k_pix=2))
+    np.testing.assert_array_equal(single, sharded)
