@@ -98,13 +98,14 @@ class MegaScenePack:
     """Host-packed scene for the megakernel (material ids pre-resolved)."""
 
     spheres: jax.Array  # (16, Ns_pad) f32
+    sph_mx: jax.Array   # (Ns_pad, 8) f32 MXU operand: cx cy cz |C|^2-r^2 pad
     tris: jax.Array     # (24, Nt_pad) f32
     sphere_rows: int
     tri_rows: int
 
 
 jax.tree_util.register_dataclass(
-    MegaScenePack, data_fields=("spheres", "tris"),
+    MegaScenePack, data_fields=("spheres", "sph_mx", "tris"),
     meta_fields=("sphere_rows", "tri_rows"))
 
 
@@ -134,6 +135,14 @@ def pack_scene_mega(scene) -> MegaScenePack:
 
     sph = np.zeros((_SPH_ROWS, ns_pad), np.float32)
     sph[0:3] = _BIG  # sentinel: never-hit center, radius 0
+    # MXU operand for the expanded quadratic: b = o.d - d.C and
+    # c = |o|^2 - 2 o.C + (|C|^2 - r^2); the constant term is computed in
+    # f64 so the ground sphere's |C|^2 - r^2 cancellation (sphere.py
+    # docstring) is exact.  Sentinel rows: disc = (oc.d)^2 - |oc|^2 <= 0
+    # by Cauchy-Schwarz (unit d, r=0), i.e. a guaranteed miss; at 1e30 the
+    # arithmetic saturates to inf/NaN whose comparisons are false -> miss.
+    mx = np.zeros((ns_pad, 8), np.float32)
+    mx[:, 0:3] = _BIG
     if ns:
         c = np.asarray(s.sphere_center, np.float32)
         r = np.asarray(s.sphere_radius, np.float32)
@@ -141,6 +150,11 @@ def pack_scene_mega(scene) -> MegaScenePack:
         sph[3, :ns] = r
         sph[4:15, :ns] = mat_rows(s.sphere_mat)
         sph[15, :ns] = np.where(r != 0.0, 1.0 / np.where(r != 0, r, 1.0), 0.0)
+        mx[:ns, 0:3] = c
+        c64 = c.astype(np.float64)
+        r64 = r.astype(np.float64)
+        mx[:ns, 3] = ((c64 * c64).sum(1) - r64 * r64).astype(np.float32)
+    mx[ns:, 3] = np.float32(3e38)  # ~f32 max: sentinel c0 term
 
     tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
     if nt:
@@ -155,8 +169,8 @@ def pack_scene_mega(scene) -> MegaScenePack:
         tri[6:9, :nt] = e2.T
         tri[9:12, :nt] = n.T
         tri[12:23, :nt] = mat_rows(s.tri_mat)
-    return MegaScenePack(spheres=jnp.asarray(sph), tris=jnp.asarray(tri),
-                         sphere_rows=ns, tri_rows=nt)
+    return MegaScenePack(spheres=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
+                         tris=jnp.asarray(tri), sphere_rows=ns, tri_rows=nt)
 
 
 def _threefry2x32(k0, k1, c0, c1):
@@ -188,24 +202,36 @@ def _bits_to_unit(bits):
 
 
 def _unit3(x, y, z, eps=0.0):
-    """Normalize a 3-vector in component form (mirrors vecmath.normalize)."""
+    """Normalize a 3-vector in component form (mirrors vecmath.normalize).
+
+    Uses ``lax.rsqrt`` — f32 division lowers to a slow Mosaic sequence
+    (measured ~30% of whole-kernel time across the normalize call sites);
+    rsqrt differs from 1/sqrt by ~1 ulp, within the kernel's tolerance.
+    """
     n2 = x * x + y * y + z * z
     if eps:
         n2 = jnp.maximum(n2, eps)
-    inv = jnp.where(n2 > 0, 1.0 / jnp.sqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
+    inv = jnp.where(n2 > 0, jax.lax.rsqrt(jnp.where(n2 > 0, n2, 1.0)), 0.0)
     return x * inv, y * inv, z * inv
 
 
+def _recip(x):
+    """1/x without a divide (sign-preserving rsqrt(x^2)); ~1 ulp off."""
+    r = jax.lax.rsqrt(x * x)
+    return jnp.where(x < 0, -r, r)
+
+
 def _cbrt(x):
-    """cbrt on [0,1) via exp/log + one Newton step (no Mosaic cbrt)."""
+    """cbrt on [0,1) via exp/log (no Mosaic cbrt; ~2 ulp)."""
     y = jnp.exp(jnp.log(jnp.maximum(x, 1e-36)) * (1.0 / 3.0))
-    y = (2.0 * y + x / (y * y)) * (1.0 / 3.0)
     return jnp.where(x > 0, y, 0.0)
 
 
-def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
-                 seg_ref, it_ref, *, nx, ny, spp, max_depth, t_min,
-                 num_pixels, total_pixels, ns, nt, tile, k_pix, lanes):
+def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
+                 rad_ref, seg_ref, it_ref, *,
+                 nx, ny, spp, max_depth, t_min,
+                 num_pixels, total_pixels, ns, nt, tile, k_pix, lanes,
+                 unroll):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -226,6 +252,16 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
     cv = [cam_ref[0, 15 + k] for k in range(3)]  # lens v
     lens_r = cam_ref[0, 18]
 
+    # Integer div/mod lower to very slow Mosaic sequences (measured ~59%
+    # of whole-kernel time); all decodes below use exact float-reciprocal
+    # arithmetic instead.  Safe because every quantity is < 2^24 (exact in
+    # f32) and the +0.5 bias keeps floor() away from the integer boundary
+    # by >> the f32 rounding error.
+    def _fdiv(a, b_inv, b):
+        """floor(a / b) for 0 <= a < 2^24, b static; returns i32."""
+        q = jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
+        return q
+
     def pixel_of(s):
         """Grid-stride *global* pixel for a lane's sample counter.
 
@@ -233,20 +269,22 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
         is global (``pix0`` offset), which keys the RNG and the camera so
         a sharded render is bit-identical to the single-device one.
         """
-        loc = lane + (s // spp) * L
+        loc = lane + _fdiv(s, 1.0 / spp, spp) * L
         pix = pix0 + loc
         valid = (loc < num_pixels) & (pix < total_pixels)
         return jnp.minimum(pix, total_pixels - 1), valid
 
     def ray_id(s):
         pixc, _ = pixel_of(s)
-        return (pixc * spp + s % spp).astype(u32)
+        rem = s - _fdiv(s, 1.0 / spp, spp) * spp
+        return (pixc * spp + rem).astype(u32)
 
     def camera_ray(s, ju, jv, lu, lv):
         """Mirrors render.camera.generate_rays + rng.unit_disk_sample."""
         pixc, _ = pixel_of(s)
-        i_f = (pixc % nx).astype(f32)
-        j_f = (pixc // nx).astype(f32)
+        j_i = _fdiv(pixc, 1.0 / nx, nx)
+        j_f = j_i.astype(f32)
+        i_f = (pixc - j_i * nx).astype(f32)
         sf = (i_f + ju) * f32(1.0 / nx)
         tf = (j_f + jv) * f32(1.0 / ny)
         r = jnp.sqrt(lu)
@@ -302,25 +340,39 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
         ju, jv, lu, lv = draws4(nrid, jnp.zeros_like(nrid))
 
         # ---- intersect: dense sweep, sphere part [E: sphere.h hit] ----
+        # Expanded quadratic: b = o.d - d.C, c = |o|^2 - 2 o.C + c0 with
+        # c0 = |C|^2 - r^2 prepacked in f64 (exact for the huge ground
+        # sphere).  The two (Ns, rays) cross-term planes ride the MXU
+        # (K=8 matmuls), leaving ~13 VPU ops/pair vs ~35 for the oc-form.
         t_s = jnp.full((1, T), f32(_BIG))
         ps = jnp.zeros((1, T), i32)
         if ns:
-            cx = sph_ref[0, :][:, None]
-            cy = sph_ref[1, :][:, None]
-            cz = sph_ref[2, :][:, None]
-            r = sph_ref[3, :][:, None]
-            ocx = ox - cx           # (Ns_pad, T)
-            ocy = oy - cy
-            ocz = oz - cz
-            bq = ocx * dx + ocy * dy + ocz * dz
-            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            zrow = jnp.zeros((1, T), f32)
+            onerow = jnp.ones((1, T), f32)
+            od = ox * dx + oy * dy + oz * dz        # (1, T)
+            oo = ox * ox + oy * oy + oz * oz
+            rhs_d = jnp.concatenate(
+                [dx, dy, dz, zrow, zrow, zrow, zrow, zrow], axis=0)
+            rhs_o = jnp.concatenate(
+                [-2.0 * ox, -2.0 * oy, -2.0 * oz, onerow,
+                 zrow, zrow, zrow, zrow], axis=0)
+            dn = (((1,), (0,)), ((), ()))
+            dc = jax.lax.dot_general(
+                mx_ref[:, :], rhs_d, dimension_numbers=dn,
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)     # (Ns_pad, T) d.C
+            occ = jax.lax.dot_general(
+                mx_ref[:, :], rhs_o, dimension_numbers=dn,
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)     # -2 o.C + c0
+            bq = od - dc
+            cq = oo + occ
             disc = bq * bq - cq
-            has = disc > 0
-            sq = jnp.sqrt(jnp.where(has, disc, 0.0))
+            sq = jnp.sqrt(disc)      # NaN on miss; all compares false
             tn = -bq - sq
-            tf_ = -bq + sq
-            nok = has & (tn > t_min) & (tn < _BIG)
-            fok = has & (tf_ > t_min) & (tf_ < _BIG)
+            tf_ = sq - bq
+            nok = tn > t_min
+            fok = tf_ > t_min
             tall = jnp.where(nok, tn, jnp.where(fok, tf_, f32(_BIG)))
             t_s = jnp.min(tall, axis=0)[None, :]
             ps = jnp.argmin(tall, axis=0).astype(i32)[None, :]
@@ -342,7 +394,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
             pz_ = dx * e2y - dy * e2x
             det = e1x * px_ + e1y * py_ + e1z * pz_
             ok = jnp.abs(det) > 1e-9
-            inv = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+            inv = jnp.where(ok, _recip(jnp.where(ok, det, 1.0)), 0.0)
             tvx = ox - v0x
             tvy = oy - v0y
             tvz = oz - v0z
@@ -363,6 +415,10 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
         hit = active & (t_best < _BIG)
 
         # ---- payload: one-hot extraction of the winner's rows ----
+        # (A single (C, Np) x (Np, T) one-hot matmul would be cheaper but
+        # trips a Mosaic layout hole ("Not implemented: Sublane broadcast")
+        # in this kernel's while-loop context; multiply+reduce sweeps are
+        # ~the same cost at these table sizes.)
         def extract(ref, oh, rows):
             return [jnp.sum(oh * ref[k, :][:, None], axis=0)[None, :]
                     for k in rows]
@@ -425,7 +481,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
         ownx = jnp.where(outside, -nxv, nxv)
         owny = jnp.where(outside, -nyv, nyv)
         ownz = jnp.where(outside, -nzv, nzv)
-        ni = jnp.where(outside, ref_idx, 1.0 / ref_idx)
+        ni = jnp.where(outside, ref_idx, _recip(ref_idx))
         cosine = jnp.where(outside, ref_idx * ddn2, -ddn2)
         # refract(): uv = unit(d) (d already unit; renormalize to match)
         uvx, uvy, uvz = _unit3(dx, dy, dz)
@@ -436,7 +492,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
         rfx = jnp.where(can, ni * (uvx - ownx * dt) - ownx * sq2, 0.0)
         rfy = jnp.where(can, ni * (uvy - owny * dt) - owny * sq2, 0.0)
         rfz = jnp.where(can, ni * (uvz - ownz * dt) - ownz * sq2, 0.0)
-        r0 = (1.0 - ref_idx) / (1.0 + ref_idx)
+        r0 = (1.0 - ref_idx) * _recip(1.0 + ref_idx)
         r0 = r0 * r0
         om = 1.0 - cosine
         om2 = om * om
@@ -532,15 +588,24 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, tri_ref, rad_ref,
     init = (jnp.int32(0), samp0, jnp.zeros((1, T), i32),
             ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
             jnp.zeros((1, T), i32))
-    final = jax.lax.while_loop(cond, body, init)
+    # Unrolled body: fewer any()-cond syncs per bounce and better Mosaic
+    # scheduling (measured +10% at 4x on the final scene); the wasted
+    # trailing iterations per tile are no-ops (all lanes inactive), so
+    # outputs are identical for any unroll factor.
+    def body_x(carry):
+        for _ in range(unroll):
+            carry = body(carry)
+        return carry
+
+    final = jax.lax.while_loop(cond, body_x, init)
     seg_ref[0, :] = final[15][0, :]
     # Per-tile bounce-loop trips, broadcast across the lane block
     # (occupancy metric; host reads one lane per tile).
     it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
 
 
-def _mega_call(cam, key, sph, tri, pix0=None, *, nx, ny, spp, max_depth,
-               t_min, ns, nt, num_pixels=None, total_pixels=None,
+def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
+               max_depth, t_min, ns, nt, num_pixels=None, total_pixels=None,
                interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
     """Launch the kernel over ``num_pixels`` local pixels.
 
@@ -561,7 +626,8 @@ def _mega_call(cam, key, sph, tri, pix0=None, *, nx, ny, spp, max_depth,
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
-        ns=ns, nt=nt, tile=tile, k_pix=k_pix, lanes=lanes)
+        ns=ns, nt=nt, tile=tile, k_pix=k_pix, lanes=lanes,
+        unroll=1 if interpret else 4)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
@@ -570,6 +636,8 @@ def _mega_call(cam, key, sph, tri, pix0=None, *, nx, ny, spp, max_depth,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((_SPH_ROWS, sph.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sph.shape[1], 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TRI_ROWS, tri.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -588,7 +656,7 @@ def _mega_call(cam, key, sph, tri, pix0=None, *, nx, ny, spp, max_depth,
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
         ),
         interpret=interpret,
-    )(cam, key, pix0, sph, tri)
+    )(cam, key, pix0, sph, mx, tri)
     # (3K, L) row blocks -> (K*L, 3): flat index j*L + lane == local pixel.
     rad = rad.reshape(k_pix, 3, lanes).transpose(0, 2, 1).reshape(-1, 3)
     return rad[:num_pixels], seg, its
@@ -630,7 +698,7 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     rad, seg, its = _mega_jit(
-        cam, key, pack.spheres, pack.tris, nx=cfg.nx, ny=cfg.ny,
+        cam, key, pack.spheres, pack.sph_mx, pack.tris, nx=cfg.nx, ny=cfg.ny,
         spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         ns=pack.sphere_rows, nt=pack.tri_rows, interpret=interpret,
         tile=tile, k_pix=k_pix)
@@ -690,19 +758,19 @@ def render_image_mega_sharded(scene, camera, cfg, mesh, seed: int = 0,
     p_local = -(-total // n_shards)
 
     @_partial(jax.jit, static_argnames=())
-    @_partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P()),
+    @_partial(shard_map, mesh=mesh, in_specs=(P(), P(), P(), P(), P()),
               out_specs=P(TILE_AXIS), check_vma=False)
-    def run(cam, key, sph, tri):
+    def run(cam, key, sph, mx, tri):
         idx = jax.lax.axis_index(TILE_AXIS)
         pix0 = jnp.full((1, 1), idx * p_local, jnp.int32)
         rad, _, _ = _mega_call(
-            cam, key, sph, tri, pix0, nx=cfg.nx, ny=cfg.ny, spp=cfg.spp,
+            cam, key, sph, mx, tri, pix0, nx=cfg.nx, ny=cfg.ny, spp=cfg.spp,
             max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows,
             num_pixels=p_local, total_pixels=total,
             interpret=interpret, tile=tile, k_pix=k_pix)
         return rad
 
-    rad = run(cam, key, pack.spheres, pack.tris)[:total]
+    rad = run(cam, key, pack.spheres, pack.sph_mx, pack.tris)[:total]
     img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
     return img[::-1]
