@@ -53,3 +53,46 @@ def test_native_matches_numpy_presets():
             np.testing.assert_array_equal(
                 np.asarray(getattr(a, field)),
                 np.asarray(getattr(b, field)), err_msg=field)
+
+
+class TestNativeOracle:
+    """C++ oracle (native/frt_oracle.cpp) vs NumPy oracle vs TPU wavefront:
+    three independent implementations of the reference semantics agree."""
+
+    def _skip_if_missing(self):
+        from first_raytracer_tpu.oracle import native_oracle
+        import pytest
+        if not native_oracle.available():
+            pytest.skip("libfrt_native.so not built")
+
+    def test_matches_numpy_oracle(self):
+        self._skip_if_missing()
+        import numpy as np
+        from first_raytracer_tpu.oracle.cpu_oracle import render_oracle
+        from first_raytracer_tpu.oracle.native_oracle import (
+            render_oracle_native)
+        from first_raytracer_tpu.scene.builders import (camera_showcase,
+                                                        three_spheres,
+                                                        triangle_scene)
+
+        for preset in (three_spheres, triangle_scene, camera_showcase):
+            scene, cam, cfg = preset(nx=24, ny=12, spp=2)
+            a = render_oracle(scene, cam, cfg)
+            b = render_oracle_native(scene, cam, cfg)
+            # Same op order in f32; only libm transcendental ulps differ.
+            np.testing.assert_allclose(a, b, atol=2e-5, rtol=0)
+
+    def test_matches_tpu_wavefront(self):
+        self._skip_if_missing()
+        import numpy as np
+        from first_raytracer_tpu.oracle.native_oracle import (
+            render_oracle_native)
+        from first_raytracer_tpu.render.api import render_image
+        from first_raytracer_tpu.scene.builders import three_spheres
+
+        scene, cam, cfg = three_spheres(nx=24, ny=12, spp=2)
+        a = render_oracle_native(scene, cam, cfg)
+        b = np.asarray(render_image(scene, cam, cfg))
+        d = np.abs(a - b)
+        assert (d > 1e-3).mean() < 0.01
+        assert np.median(d) < 1e-5
