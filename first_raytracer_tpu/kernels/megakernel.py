@@ -80,12 +80,13 @@ _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
 _PARITY = 0x1BD11BDA
 
 # Sphere plane rows (16, Ns_pad):
-#   0-2 center, 3 radius, 4 mat_type, 5 fuzz, 6 ref_idx, 7 tex_type,
-#   8-10 albedo, 11-13 albedo2, 14 tex_scale, 15 1/radius (0 for sentinel).
+#   0-2 center, 3 radius, 4 param (fuzz|ref_idx by group), 5-7 albedo,
+#   8-10 albedo2, 11 tex_scale, 15 1/radius (0 for sentinel).
+#   mat/tex *types* are encoded by the group-sorted index ranges.
 _SPH_ROWS = 16
 # Triangle plane rows (24, Nt_pad):
-#   0-2 v0, 3-5 e1, 6-8 e2, 9-11 unit normal, 12 mat_type, 13 fuzz,
-#   14 ref_idx, 15 tex_type, 16-18 albedo, 19-21 albedo2, 22 tex_scale.
+#   0-2 v0, 3-5 e1, 6-8 e2, 9-11 unit normal, 12 param, 13-15 albedo,
+#   16-18 albedo2, 19 tex_scale.
 _TRI_ROWS = 24
 
 
@@ -95,18 +96,32 @@ def _round_up(x, m):
 
 @dataclasses.dataclass(frozen=True)
 class MegaScenePack:
-    """Host-packed scene for the megakernel (material ids pre-resolved)."""
+    """Host-packed scene for the megakernel (material ids pre-resolved).
+
+    Primitives are SORTED into material groups — (lambertian, metal,
+    dielectric) x (constant, checker), six contiguous index ranges — so
+    the kernel derives the winner's material/texture *type* from two
+    integer compares on the winning index instead of extracting table
+    rows; ``fuzz`` (metal) and ``ref_idx`` (dielectric) share one
+    ``param`` row; checker rows are packed (and extracted) only when a
+    checker group is non-empty.  ``sph_groups``/``tri_groups`` are the
+    six cumulative group start indices + total (7 static ints each).
+    """
 
     spheres: jax.Array  # (16, Ns_pad) f32
     sph_mx: jax.Array   # (Ns_pad, 8) f32 MXU operand: cx cy cz |C|^2-r^2 pad
     tris: jax.Array     # (24, Nt_pad) f32
     sphere_rows: int
     tri_rows: int
+    sph_groups: tuple   # 7 ints
+    tri_groups: tuple
+    has_checker: bool
 
 
 jax.tree_util.register_dataclass(
     MegaScenePack, data_fields=("spheres", "sph_mx", "tris"),
-    meta_fields=("sphere_rows", "tri_rows"))
+    meta_fields=("sphere_rows", "tri_rows", "sph_groups", "tri_groups",
+                 "has_checker"))
 
 
 def pack_scene_mega(scene) -> MegaScenePack:
@@ -120,18 +135,39 @@ def pack_scene_mega(scene) -> MegaScenePack:
     ns, nt = s.sphere_center.shape[0], s.tri_v0.shape[0]
     ns_pad = max(_round_up(ns, _LANE), _LANE)
     nt_pad = max(_round_up(nt, _LANE), _LANE)
+    mtype_all = np.asarray(s.mat_type, np.int64)
+    textype_all = np.asarray(s.tex_type, np.int64)
+
+    def group_order(mat_ids):
+        """Permutation sorting primitives into the 6 (mat, tex) groups.
+
+        Returns (order, groups): stable sort so intra-group order (and
+        thus argmin tie-breaking) stays deterministic; groups = 7
+        cumulative start indices g0..g5, total.
+        """
+        m = np.asarray(mat_ids, np.int64)
+        gkey = mtype_all[m] * 2 + (textype_all[m] == 1)
+        order = np.argsort(gkey, kind="stable")
+        counts = np.bincount(gkey, minlength=6)
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        return order, tuple(int(x) for x in starts)
 
     def mat_rows(mat_ids):
+        """param (fuzz|ref_idx by mat type), albedo, albedo2, tex_scale."""
         m = np.asarray(mat_ids)
+        mt = mtype_all[m]
+        param = np.where(
+            mt == 1, np.asarray(s.fuzz, np.float32)[m],
+            np.where(mt == 2, np.asarray(s.ref_idx, np.float32)[m],
+                     np.float32(1.0)))
         return np.stack([
-            np.asarray(s.mat_type, np.float32)[m],
-            np.asarray(s.fuzz, np.float32)[m],
-            np.asarray(s.ref_idx, np.float32)[m],
-            np.asarray(s.tex_type, np.float32)[m],
+            param.astype(np.float32),
             *(np.asarray(s.albedo, np.float32)[m, k] for k in range(3)),
             *(np.asarray(s.albedo2, np.float32)[m, k] for k in range(3)),
             np.asarray(s.tex_scale, np.float32)[m],
-        ])  # (11, N)
+        ])  # (8, N)
+
+    has_checker = bool((textype_all == 1).any())
 
     sph = np.zeros((_SPH_ROWS, ns_pad), np.float32)
     sph[0:3] = _BIG  # sentinel: never-hit center, radius 0
@@ -143,12 +179,15 @@ def pack_scene_mega(scene) -> MegaScenePack:
     # arithmetic saturates to inf/NaN whose comparisons are false -> miss.
     mx = np.zeros((ns_pad, 8), np.float32)
     mx[:, 0:3] = _BIG
+    sph_groups = (0,) * 7
     if ns:
-        c = np.asarray(s.sphere_center, np.float32)
-        r = np.asarray(s.sphere_radius, np.float32)
+        order, sph_groups = group_order(s.sphere_mat)
+        c = np.asarray(s.sphere_center, np.float32)[order]
+        r = np.asarray(s.sphere_radius, np.float32)[order]
         sph[0:3, :ns] = c.T
         sph[3, :ns] = r
-        sph[4:15, :ns] = mat_rows(s.sphere_mat)
+        # rows 4: param, 5-7: albedo, 8-10: albedo2, 11: tex_scale
+        sph[4:12, :ns] = mat_rows(np.asarray(s.sphere_mat)[order])
         sph[15, :ns] = np.where(r != 0.0, 1.0 / np.where(r != 0, r, 1.0), 0.0)
         mx[:ns, 0:3] = c
         c64 = c.astype(np.float64)
@@ -157,10 +196,12 @@ def pack_scene_mega(scene) -> MegaScenePack:
     mx[ns:, 3] = np.float32(3e38)  # ~f32 max: sentinel c0 term
 
     tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
+    tri_groups = (0,) * 7
     if nt:
-        v0 = np.asarray(s.tri_v0, np.float32)
-        e1 = np.asarray(s.tri_v1, np.float32) - v0
-        e2 = np.asarray(s.tri_v2, np.float32) - v0
+        order, tri_groups = group_order(s.tri_mat)
+        v0 = np.asarray(s.tri_v0, np.float32)[order]
+        e1 = np.asarray(s.tri_v1, np.float32)[order] - v0
+        e2 = np.asarray(s.tri_v2, np.float32)[order] - v0
         n = np.cross(e1, e2)
         nn = np.linalg.norm(n, axis=1, keepdims=True)
         n = n / np.where(nn > 0, nn, 1.0)
@@ -168,9 +209,12 @@ def pack_scene_mega(scene) -> MegaScenePack:
         tri[3:6, :nt] = e1.T
         tri[6:9, :nt] = e2.T
         tri[9:12, :nt] = n.T
-        tri[12:23, :nt] = mat_rows(s.tri_mat)
+        # rows 12: param, 13-15: albedo, 16-18: albedo2, 19: tex_scale
+        tri[12:20, :nt] = mat_rows(np.asarray(s.tri_mat)[order])
     return MegaScenePack(spheres=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
-                         tris=jnp.asarray(tri), sphere_rows=ns, tri_rows=nt)
+                         tris=jnp.asarray(tri), sphere_rows=ns, tri_rows=nt,
+                         sph_groups=sph_groups, tri_groups=tri_groups,
+                         has_checker=has_checker)
 
 
 def _threefry2x32(k0, k1, c0, c1):
@@ -231,7 +275,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
                  rad_ref, seg_ref, it_ref, *,
                  nx, ny, spp, max_depth, t_min,
                  num_pixels, total_pixels, ns, nt, tile, k_pix, lanes,
-                 unroll):
+                 unroll, sph_groups, tri_groups, has_checker):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -418,22 +462,43 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         # (A single (C, Np) x (Np, T) one-hot matmul would be cheaper but
         # trips a Mosaic layout hole ("Not implemented: Sublane broadcast")
         # in this kernel's while-loop context; multiply+reduce sweeps are
-        # ~the same cost at these table sizes.)
+        # ~the same cost at these table sizes.)  Material/texture *types*
+        # are not extracted at all: primitives are group-sorted (see
+        # MegaScenePack), so the winner's type falls out of index
+        # compares against the static group boundaries.
         def extract(ref, oh, rows):
             return [jnp.sum(oh * ref[k, :][:, None], axis=0)[None, :]
                     for k in rows]
 
-        # material rows: mtype fuzz refidx textype a0(3) a1(3) scale
+        def group_masks(w, g):
+            """(is_metal, is_diel, is_check) from winner index w."""
+            metal = ((w >= g[2]) & (w < g[4])) if g[4] > g[2] else None
+            diel = (w >= g[4]) if g[6] > g[4] else None
+            check = None
+            for lo, hi in ((g[1], g[2]), (g[3], g[4]), (g[5], g[6])):
+                if hi > lo:
+                    m = (w >= lo) & (w < hi)
+                    check = m if check is None else (check | m)
+            false = jnp.zeros(w.shape, jnp.bool_)
+            return (false if metal is None else metal,
+                    false if diel is None else diel,
+                    false if check is None else check)
+
+        # payload rows: param (fuzz|ref_idx), a0(3) [+ a1(3), scale]
+        chk_rows_s = (8, 9, 10, 11) if has_checker else ()
+        chk_rows_t = (16, 17, 18, 19) if has_checker else ()
         if ns:
             iota_s = jax.lax.broadcasted_iota(i32, (sph_ref.shape[1], T), 0)
             oh_s = (iota_s == ps).astype(f32)
             (scx, scy, scz, sinvr) = extract(sph_ref, oh_s, (0, 1, 2, 15))
-            mat_s = extract(sph_ref, oh_s, range(4, 15))
+            mat_s = extract(sph_ref, oh_s, (4, 5, 6, 7) + chk_rows_s)
+            type_s = group_masks(ps, sph_groups)
         if nt:
             iota_t = jax.lax.broadcasted_iota(i32, (tri_ref.shape[1], T), 0)
             oh_t = (iota_t == pt).astype(f32)
             (tnx, tny, tnz) = extract(tri_ref, oh_t, (9, 10, 11))
-            mat_t = extract(tri_ref, oh_t, range(12, 23))
+            mat_t = extract(tri_ref, oh_t, (12, 13, 14, 15) + chk_rows_t)
+            type_t = group_masks(pt, tri_groups)
 
         px = ox + t_best * dx
         py = oy + t_best * dy
@@ -444,16 +509,24 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             nzv = jnp.where(is_tri, tnz, (pz - scz) * sinvr)
             mat = [jnp.where(is_tri, mt, ms)
                    for ms, mt in zip(mat_s, mat_t)]
+            is_metal, is_diel, is_check = (
+                (is_tri & tt_) | (~is_tri & ts_)
+                for ts_, tt_ in zip(type_s, type_t))
         elif ns:
             nxv = (px - scx) * sinvr
             nyv = (py - scy) * sinvr
             nzv = (pz - scz) * sinvr
             mat = mat_s
+            is_metal, is_diel, is_check = type_s
         else:
             nxv, nyv, nzv = tnx, tny, tnz
             mat = mat_t
-        (mtype, fuzz, ref_idx, textype, a0r, a0g, a0b,
-         a1r, a1g, a1b, tscale) = mat
+            is_metal, is_diel, is_check = type_t
+        if has_checker:
+            (param, a0r, a0g, a0b, a1r, a1g, a1b, tscale) = mat
+        else:
+            (param, a0r, a0g, a0b) = mat
+        fuzz = ref_idx = param  # disjoint by group: fuzz|metal, ior|diel
 
         # ---- scatter [E: material.h], mirrors materials/scatter.py ----
         bz = 1.0 - 2.0 * u1
@@ -499,23 +572,25 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         schl = r0 + (1.0 - r0) * (om2 * om2 * om)
         rprob = jnp.where(can, schl, 1.0)
         use_refl = coin < rprob
-        rux, ruy, ruz = _unit3(refx, refy, refz, eps=1e-20)
-        fux, fuy, fuz = _unit3(rfx, rfy, rfz, eps=1e-20)
-        dielx = jnp.where(use_refl, rux, fux)
-        diely = jnp.where(use_refl, ruy, fuy)
-        dielz = jnp.where(use_refl, ruz, fuz)
+        # reflect(unit d) and the Snell refraction of a unit d are unit
+        # to ~1 ulp already; skip the two normalizes scatter.py does
+        # (same tolerance class as the rsqrt/cbrt deviations).
+        dielx = jnp.where(use_refl, refx, rfx)
+        diely = jnp.where(use_refl, refy, rfy)
+        dielz = jnp.where(use_refl, refz, rfz)
 
-        # texture [E: texture.h checker]
-        sines = (jnp.sin(tscale * px) * jnp.sin(tscale * py)
-                 * jnp.sin(tscale * pz))
-        odd = sines < 0.0
-        is_check = textype == 1.0
-        texr = jnp.where(is_check & odd, a1r, a0r)
-        texg = jnp.where(is_check & odd, a1g, a0g)
-        texb = jnp.where(is_check & odd, a1b, a0b)
+        # texture [E: texture.h checker] — compiled out when the scene
+        # has no checker material.
+        if has_checker:
+            sines = (jnp.sin(tscale * px) * jnp.sin(tscale * py)
+                     * jnp.sin(tscale * pz))
+            odd = sines < 0.0
+            texr = jnp.where(is_check & odd, a1r, a0r)
+            texg = jnp.where(is_check & odd, a1g, a0g)
+            texb = jnp.where(is_check & odd, a1b, a0b)
+        else:
+            texr, texg, texb = a0r, a0g, a0b
 
-        is_metal = mtype == 1.0
-        is_diel = mtype == 2.0
         ndx = jnp.where(is_diel, dielx, jnp.where(is_metal, metx, lamx))
         ndy = jnp.where(is_diel, diely, jnp.where(is_metal, mety, lamy))
         ndz = jnp.where(is_diel, dielz, jnp.where(is_metal, metz, lamz))
@@ -605,7 +680,8 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
 
 
 def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
-               max_depth, t_min, ns, nt, num_pixels=None, total_pixels=None,
+               max_depth, t_min, ns, nt, sph_groups, tri_groups,
+               has_checker, num_pixels=None, total_pixels=None,
                interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
     """Launch the kernel over ``num_pixels`` local pixels.
 
@@ -627,7 +703,8 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
         ns=ns, nt=nt, tile=tile, k_pix=k_pix, lanes=lanes,
-        unroll=1 if interpret else 4)
+        unroll=1 if interpret else 4, sph_groups=sph_groups,
+        tri_groups=tri_groups, has_checker=has_checker)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
@@ -665,6 +742,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
 _mega_jit = jax.jit(
     _mega_call,
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
+                     "sph_groups", "tri_groups", "has_checker",
                      "num_pixels", "total_pixels", "interpret", "tile",
                      "k_pix"))
 
@@ -700,7 +778,9 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
     rad, seg, its = _mega_jit(
         cam, key, pack.spheres, pack.sph_mx, pack.tris, nx=cfg.nx, ny=cfg.ny,
         spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
-        ns=pack.sphere_rows, nt=pack.tri_rows, interpret=interpret,
+        ns=pack.sphere_rows, nt=pack.tri_rows,
+        sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
+        has_checker=pack.has_checker, interpret=interpret,
         tile=tile, k_pix=k_pix)
     if return_iters:
         return rad, seg[0], its[0, ::tile]
@@ -767,6 +847,8 @@ def render_image_mega_sharded(scene, camera, cfg, mesh, seed: int = 0,
             cam, key, sph, mx, tri, pix0, nx=cfg.nx, ny=cfg.ny, spp=cfg.spp,
             max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows,
+            sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
+            has_checker=pack.has_checker,
             num_pixels=p_local, total_pixels=total,
             interpret=interpret, tile=tile, k_pix=k_pix)
         return rad
