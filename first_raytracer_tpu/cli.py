@@ -10,6 +10,8 @@ Examples:
     python -m first_raytracer_tpu.cli render --preset random-spheres \
         --bvh --spp 10 --out out/final.ppm --checkpoint out/final.ckpt.npz
     python -m first_raytracer_tpu.cli bench --preset random-spheres --bvh
+    python -m first_raytracer_tpu.cli fit --fields albedo,fuzz \
+        --checkpoint out/fit.npz
     python -m first_raytracer_tpu.cli occupancy --preset random-spheres --bvh
 """
 from __future__ import annotations
@@ -82,6 +84,54 @@ def _cmd_bench(args):
     print(json.dumps(throughput(n, 0, secs)))
 
 
+def _cmd_fit(args):
+    """Inverse-rendering demo [BASELINE.json:11]: perturb scene parameters,
+    recover them by SGD on a pixel loss; checkpoints learned params
+    (SURVEY.md §5.4 "checkpoint learned params during gradient-descent
+    demos")."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .core import rng as _rng
+    from .diff.grad import ray_radiance, split_params, sgd_step
+
+    scene, camera, cfg, accel = _build(args)
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, max_depth=min(cfg.max_depth, 8),
+                      differentiable=True)
+    fields = tuple(f for f in args.fields.split(",") if f)
+    key = _rng.base_key(args.seed)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+
+    true_params, _ = split_params(scene, fields=fields)
+    target = ray_radiance(true_params, scene, camera, cfg, key, ids, accel)
+
+    r = np.random.RandomState(args.seed)
+    params = jax.tree_util.tree_map(
+        lambda p: jnp.asarray(
+            np.clip(np.asarray(p) * (0.6 + 0.3 * r.rand(*p.shape)), 0.02,
+                    None), jnp.float32),
+        true_params)
+
+    step = jax.jit(lambda p, k: sgd_step(
+        p, scene, camera, cfg, k, ids, target, lr=args.lr, accel=accel))
+    for i in range(args.steps):
+        loss, params = step(params, key)
+        if i % args.log_every == 0 or i == args.steps - 1:
+            err = jax.tree_util.tree_map(
+                lambda a, b: float(jnp.max(jnp.abs(a - b))), params,
+                true_params)
+            print(json.dumps({"step": i, "loss": float(loss),
+                              "max_param_err": err}))
+        if args.checkpoint and (i % 20 == 0 or i == args.steps - 1):
+            os.makedirs(os.path.dirname(args.checkpoint) or ".",
+                        exist_ok=True)
+            np.savez(args.checkpoint,
+                     **{k: np.asarray(v) for k, v in params.items()})
+    return 0
+
+
 def _cmd_occupancy(args):
     from .utils.metrics import wavefront_occupancy
 
@@ -95,7 +145,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog="first_raytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("render", _cmd_render), ("bench", _cmd_bench),
-                     ("occupancy", _cmd_occupancy)]:
+                     ("occupancy", _cmd_occupancy), ("fit", _cmd_fit)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("--preset", default="three-spheres")
@@ -117,6 +167,12 @@ def main(argv=None):
                      "(support --bvh and gradients)")
         if name == "bench":
             sp.add_argument("--rays", type=int, default=0)
+        if name == "fit":
+            sp.add_argument("--fields", default="albedo")
+            sp.add_argument("--steps", type=int, default=60)
+            sp.add_argument("--lr", type=float, default=0.8)
+            sp.add_argument("--log-every", type=int, default=10)
+            sp.add_argument("--checkpoint", default="")
     args = p.parse_args(argv)
     return args.fn(args)
 
