@@ -25,6 +25,8 @@ from first_raytracer_tpu.core import rng
 from first_raytracer_tpu.kernels.intersect_pallas import (intersect_pallas,
                                                           pack_scene_pallas)
 from first_raytracer_tpu.render.api import render_ray_batch
+from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
+                                                    render_pixels_mega)
 from first_raytracer_tpu.render.regenerative import render_rays_regenerative
 from first_raytracer_tpu.scene.builders import PRESETS
 
@@ -86,6 +88,19 @@ def main():
         print(f"{tag:32s} {secs:8.3f}s  {results[tag]:8.2f} Mpaths/s",
               flush=True)
 
+    def bench_mega(tag, tile, k_pix):
+        mpack = pack_scene_mega(scene)
+        def run():
+            return render_pixels_mega(mpack, cam, cfg, key, tile=tile,
+                                      k_pix=k_pix)
+        secs = time_once(run)
+        results[tag] = round(total / secs / 1e6, 3)
+        print(f"{tag:32s} {secs:8.3f}s  {results[tag]:8.2f} Mpaths/s",
+              flush=True)
+
+    for tile in (256, 512, 1024):
+        for k_pix in (16, 32, 64, 128):
+            bench_mega(f"mega/t{tile}/k{k_pix}", tile, k_pix)
     bench_chunked("wavefront/brute", None, None)
     bench_chunked("wavefront/bvh", bvh, None)
     bench_chunked("wavefront/pallas", pack, intersect_pallas)
