@@ -133,12 +133,14 @@ def _cmd_fit(args):
 
 
 def _cmd_occupancy(args):
-    from .utils.metrics import wavefront_occupancy
+    from .utils.metrics import megakernel_occupancy, wavefront_occupancy
 
     scene, camera, cfg, accel = _build(args)
-    print(json.dumps(wavefront_occupancy(scene, camera, cfg,
-                                         seed=args.seed, accel=accel),
-                     indent=2))
+    out = wavefront_occupancy(scene, camera, cfg, seed=args.seed,
+                              accel=accel)
+    out["megakernel"] = megakernel_occupancy(scene, camera, cfg,
+                                             seed=args.seed)
+    print(json.dumps(out, indent=2))
 
 
 def main(argv=None):

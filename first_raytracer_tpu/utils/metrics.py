@@ -21,7 +21,8 @@ from ..render.integrator import RenderConfig, default_intersect
 
 logger = logging.getLogger("first_raytracer_tpu")
 
-__all__ = ["wavefront_occupancy", "log_metrics", "logger"]
+__all__ = ["wavefront_occupancy", "megakernel_occupancy", "log_metrics",
+           "logger"]
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -86,3 +87,37 @@ def wavefront_occupancy(scene, camera, cfg: RenderConfig, seed: int = 0,
 
 def log_metrics(tag: str, metrics: dict, level=logging.INFO):
     logger.log(level, "%s %s", tag, json.dumps(metrics))
+
+
+def megakernel_occupancy(scene, camera, cfg: RenderConfig, seed: int = 0,
+                         tile: int = None, k_pix: int = None,
+                         interpret: bool = False):
+    """Lane-occupancy metrics of the persistent-lane megakernel.
+
+    Occupancy = traced segments / (loop trips x lanes): the fraction of
+    lane-iterations doing useful work under the grid-stride divergence
+    control (kernels/megakernel.py).
+    """
+    from ..kernels import megakernel as mk
+
+    pack = mk.pack_scene_mega(scene)
+    key = rng.base_key(seed)
+    kw = {}
+    if tile:
+        kw["tile"] = tile
+    if k_pix:
+        kw["k_pix"] = k_pix
+    rad, seg, its = mk.render_pixels_mega(pack, camera, cfg, key,
+                                          interpret=interpret,
+                                          return_iters=True, **kw)
+    segs = int(np.asarray(seg, np.int64).sum())
+    trips = np.asarray(its, np.int64)
+    lanes = kw.get("tile", mk.TILE)
+    slots = int(trips.sum()) * lanes
+    return {
+        "segments": segs,
+        "mean_path_len": round(segs / cfg.num_rays, 3),
+        "tile_trips_mean": round(float(trips.mean()), 1),
+        "tile_trips_max": int(trips.max()),
+        "lane_occupancy": round(segs / slots, 4) if slots else 0.0,
+    }

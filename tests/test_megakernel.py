@@ -86,3 +86,13 @@ def test_megakernel_sharded_matches_single():
     sharded = np.asarray(render_image_mega_sharded(
         scene, cam, cfg, mesh, interpret=True, tile=128, k_pix=2))
     np.testing.assert_array_equal(single, sharded)
+
+
+def test_megakernel_occupancy_metrics():
+    from first_raytracer_tpu.utils.metrics import megakernel_occupancy
+
+    scene, cam, cfg = three_spheres(nx=32, ny=8, spp=2)
+    m = megakernel_occupancy(scene, cam, cfg, interpret=True, tile=128,
+                             k_pix=2)
+    assert m["segments"] > cfg.num_rays  # >= 1 segment per path
+    assert 0 < m["lane_occupancy"] <= 1
