@@ -26,8 +26,8 @@ import math
 import numpy as np
 
 from ..core import rng
-from ..scene.soa import (MAT_DIELECTRIC, MAT_LAMBERTIAN, MAT_METAL,
-                         TEX_CHECKER, Scene)
+from ..scene.soa import (MAT_LAMBERTIAN, MAT_METAL, TEX_CHECKER,
+                         Scene)
 
 __all__ = ["render_oracle", "trace_ray_oracle"]
 

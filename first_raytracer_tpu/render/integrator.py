@@ -26,14 +26,13 @@ through the hit equation regardless of how the primitive was found
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 
 from ..core import rng
-from ..core.vecmath import dot, point_at
+from ..core.vecmath import point_at
 from ..geometry.sphere import BIG, sphere_hit_all, sphere_hit_one, sphere_normal
 from ..geometry.triangle import (triangle_hit_all, triangle_hit_one,
                                  triangle_normal)

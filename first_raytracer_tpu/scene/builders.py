@@ -11,9 +11,9 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..render.camera import Camera, make_camera
+from ..render.camera import make_camera
 from ..render.integrator import RenderConfig
-from .soa import Scene, SceneBuilder
+from .soa import SceneBuilder
 
 __all__ = ["three_spheres", "random_scene", "triangle_scene",
            "camera_showcase", "PRESETS", "build_preset"]

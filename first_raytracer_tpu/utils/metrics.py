@@ -28,8 +28,6 @@ __all__ = ["wavefront_occupancy", "megakernel_occupancy", "log_metrics",
 @partial(jax.jit, static_argnames=("cfg",))
 def _occupancy_scan(scene, camera, cfg, key, ray_ids, accel):
     """(max_depth+1,) alive-ray count per bounce (scan-form loop)."""
-    from ..render.integrator import trace_rays  # shares bounce math
-
     cam_u = rng.camera_uniforms(key, ray_ids)
     o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
     import dataclasses
@@ -38,7 +36,7 @@ def _occupancy_scan(scene, camera, cfg, key, ray_ids, accel):
     # Re-run the bounce loop collecting the alive count at each depth.
     # (Separate instrumented pass: the hot path stays counter-free.)
     R = o.shape[0]
-    from ..render.integrator import BIG, recompute_hit, sky_color
+    from ..render.integrator import BIG, recompute_hit
     from ..materials.scatter import scatter
 
     def bounce(state, depth):
