@@ -274,8 +274,8 @@ def _cbrt(x):
 def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
                  rad_ref, seg_ref, it_ref, *,
                  nx, ny, spp, max_depth, t_min,
-                 num_pixels, total_pixels, ns, nt, tile, k_pix, lanes,
-                 unroll, sph_groups, tri_groups, has_checker):
+                 num_pixels, total_pixels, spp_total, ns, nt, tile, k_pix,
+                 lanes, unroll, sph_groups, tri_groups, has_checker):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -284,6 +284,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
     step = pl.program_id(0)
     lane = step * T + jax.lax.broadcasted_iota(i32, (1, T), 1)
     pix0 = pix0_ref[0, 0]  # global pixel offset of this shard (0 unsharded)
+    spp0 = pix0_ref[0, 1]  # global sample offset (progressive batches)
     k0 = key_ref[0, 0]
     k1 = key_ref[0, 1]
 
@@ -319,9 +320,11 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         return jnp.minimum(pix, total_pixels - 1), valid
 
     def ray_id(s):
+        """Global ray id: sample ``spp0 + rem`` of pixel ``pixc`` in a
+        ``spp_total``-samples-per-pixel id space (== spp/0 unbatched)."""
         pixc, _ = pixel_of(s)
         rem = s - _fdiv(s, 1.0 / spp, spp) * spp
-        return (pixc * spp + rem).astype(u32)
+        return (pixc * spp_total + (spp0 + rem)).astype(u32)
 
     def camera_ray(s, ju, jv, lu, lv):
         """Mirrors render.camera.generate_rays + rng.unit_disk_sample."""
@@ -682,7 +685,8 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
 def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
                max_depth, t_min, ns, nt, sph_groups, tri_groups,
                has_checker, num_pixels=None, total_pixels=None,
-               interpret=False, tile=TILE, k_pix=PIX_PER_LANE):
+               spp_total=None, interpret=False, tile=TILE,
+               k_pix=PIX_PER_LANE):
     """Launch the kernel over ``num_pixels`` local pixels.
 
     ``pix0`` (traced (1,1) i32) offsets local pixel indices to global ids
@@ -693,8 +697,10 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
         num_pixels = nx * ny
     if total_pixels is None:
         total_pixels = nx * ny
+    if spp_total is None:
+        spp_total = spp
     if pix0 is None:
-        pix0 = jnp.zeros((1, 1), jnp.int32)
+        pix0 = jnp.zeros((1, 2), jnp.int32)
     n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
     lanes = n_tiles * tile
     k_pix = max(1, -(-num_pixels // lanes))
@@ -702,7 +708,8 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
-        ns=ns, nt=nt, tile=tile, k_pix=k_pix, lanes=lanes,
+        spp_total=spp_total, ns=ns, nt=nt, tile=tile, k_pix=k_pix,
+        lanes=lanes,
         unroll=1 if interpret else 4, sph_groups=sph_groups,
         tri_groups=tri_groups, has_checker=has_checker)
     rad, seg, its = pl.pallas_call(
@@ -743,8 +750,8 @@ _mega_jit = jax.jit(
     _mega_call,
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "sph_groups", "tri_groups", "has_checker",
-                     "num_pixels", "total_pixels", "interpret", "tile",
-                     "k_pix"))
+                     "num_pixels", "total_pixels", "spp_total", "interpret",
+                     "tile", "k_pix"))
 
 
 def _cam_smem(camera):
@@ -763,7 +770,8 @@ def _cam_smem(camera):
 def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
                        interpret: bool = False, tile: int = TILE,
                        k_pix: int = PIX_PER_LANE,
-                       return_iters: bool = False):
+                       return_iters: bool = False,
+                       spp0=0, spp_total: int = None):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,) i32).
 
     ``radiance_sum`` is the per-pixel sum over spp samples (divide by spp
@@ -775,13 +783,15 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
     """
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    off = jnp.stack([jnp.zeros((), jnp.int32),
+                     jnp.asarray(spp0, jnp.int32)]).reshape(1, 2)
     rad, seg, its = _mega_jit(
-        cam, key, pack.spheres, pack.sph_mx, pack.tris, nx=cfg.nx, ny=cfg.ny,
-        spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
-        ns=pack.sphere_rows, nt=pack.tri_rows,
+        cam, key, pack.spheres, pack.sph_mx, pack.tris, off, nx=cfg.nx,
+        ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
+        t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
         sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
-        has_checker=pack.has_checker, interpret=interpret,
-        tile=tile, k_pix=k_pix)
+        has_checker=pack.has_checker, spp_total=spp_total,
+        interpret=interpret, tile=tile, k_pix=k_pix)
     if return_iters:
         return rad, seg[0], its[0, ::tile]
     return rad, seg[0]
@@ -842,7 +852,8 @@ def render_image_mega_sharded(scene, camera, cfg, mesh, seed: int = 0,
               out_specs=P(TILE_AXIS), check_vma=False)
     def run(cam, key, sph, mx, tri):
         idx = jax.lax.axis_index(TILE_AXIS)
-        pix0 = jnp.full((1, 1), idx * p_local, jnp.int32)
+        pix0 = jnp.stack([idx * p_local,
+                          jnp.zeros((), jnp.int32)]).reshape(1, 2)
         rad, _, _ = _mega_call(
             cam, key, sph, mx, tri, pix0, nx=cfg.nx, ny=cfg.ny, spp=cfg.spp,
             max_depth=cfg.max_depth, t_min=float(cfg.t_min),

@@ -64,12 +64,17 @@ def progressive_render(scene, camera, cfg: RenderConfig, seed: int = 0,
                        accel=None, checkpoint_path: Optional[str] = None,
                        checkpoint_every: int = 4,
                        samples_per_batch: int = 1,
-                       on_batch: Optional[Callable] = None):
+                       on_batch: Optional[Callable] = None,
+                       mode: str = "wavefront"):
     """Render ``cfg.spp`` samples in resumable batches.
 
     Returns the final (ny, nx, 3) image.  If ``checkpoint_path`` exists the
     render resumes from it; the finished result is bit-identical to a
     non-progressive render with the same seed (same ray ids, same keys).
+
+    ``mode="mega"`` runs each batch on the persistent-lane megakernel
+    (kernels/megakernel.py) — the sample offset is a traced scalar, so
+    every batch reuses one compilation.
     """
     if checkpoint_path and os.path.exists(checkpoint_path):
         state = ProgressiveState.load(checkpoint_path)
@@ -82,16 +87,26 @@ def progressive_render(scene, camera, cfg: RenderConfig, seed: int = 0,
     key = rng.base_key(seed)
     npix = cfg.num_pixels
     batches_done = 0
+    if mode == "mega":
+        from ..kernels.megakernel import pack_scene_mega, render_pixels_mega
+        pack = pack_scene_mega(scene)
     while state.samples_done < cfg.spp:
         n_s = min(samples_per_batch, cfg.spp - state.samples_done)
-        # Global ray ids for samples [done, done + n_s) of every pixel.
-        pix = np.arange(npix, dtype=np.int64)[:, None]
-        smp = np.arange(state.samples_done,
-                        state.samples_done + n_s)[None, :]
-        ids = jnp.asarray((pix * cfg.spp + smp).reshape(-1), jnp.int32)
-        rad = np.asarray(render_ray_batch(scene, camera, cfg, key, ids,
-                                          accel))
-        state.radiance_sum += rad.reshape(npix, n_s, 3).sum(axis=1)
+        if mode == "mega":
+            cfg_b = dataclasses.replace(cfg, spp=n_s)
+            rad_sum, _ = render_pixels_mega(
+                pack, camera, cfg_b, key, spp0=state.samples_done,
+                spp_total=cfg.spp)
+            state.radiance_sum += np.asarray(rad_sum, np.float64)
+        else:
+            # Global ray ids for samples [done, done + n_s) of every pixel.
+            pix = np.arange(npix, dtype=np.int64)[:, None]
+            smp = np.arange(state.samples_done,
+                            state.samples_done + n_s)[None, :]
+            ids = jnp.asarray((pix * cfg.spp + smp).reshape(-1), jnp.int32)
+            rad = np.asarray(render_ray_batch(scene, camera, cfg, key, ids,
+                                              accel))
+            state.radiance_sum += rad.reshape(npix, n_s, 3).sum(axis=1)
         state.samples_done += n_s
         batches_done += 1
         if on_batch is not None:

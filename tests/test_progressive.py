@@ -53,3 +53,47 @@ def test_checkpoint_rejects_wrong_seed(tmp_path, tiny_three_spheres):
         raise AssertionError("expected seed mismatch error")
     except ValueError:
         pass
+
+
+def test_progressive_megakernel_matches_wavefront(tmp_path):
+    """mode='mega' batches (interpret kernel) == plain progressive render,
+    including a mid-run kill/resume."""
+    import numpy as np
+    from first_raytracer_tpu.render import progressive as prog
+    from first_raytracer_tpu.kernels import megakernel as mk
+    from first_raytracer_tpu.scene.builders import three_spheres
+
+    # interpret mode for the CPU suite
+    orig = mk._mega_jit
+    try:
+        mk._mega_jit = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+        scene, cam, cfg = three_spheres(nx=16, ny=8, spp=4)
+        ref = prog.progressive_render(scene, cam, cfg, seed=0,
+                                      samples_per_batch=2)
+        ck = str(tmp_path / "mega.npz")
+        seen = []
+
+        class Stop(Exception):
+            pass
+
+        def kill_after_one(state):
+            seen.append(state.samples_done)
+            if len(seen) == 1:
+                state.save(ck)
+                raise Stop
+
+        try:
+            prog.progressive_render(scene, cam, cfg, seed=0,
+                                    samples_per_batch=2, mode="mega",
+                                    checkpoint_path=ck,
+                                    on_batch=kill_after_one)
+        except Stop:
+            pass
+        img = prog.progressive_render(scene, cam, cfg, seed=0,
+                                      samples_per_batch=2, mode="mega",
+                                      checkpoint_path=ck)
+        d = np.abs(np.asarray(ref) - np.asarray(img))
+        assert (d > 1e-3).mean() < 0.01
+        assert np.median(d) < 1e-5
+    finally:
+        mk._mega_jit = orig
