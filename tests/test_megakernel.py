@@ -96,3 +96,18 @@ def test_megakernel_occupancy_metrics():
                              k_pix=2)
     assert m["segments"] > cfg.num_rays  # >= 1 segment per path
     assert 0 < m["lane_occupancy"] <= 1
+
+
+@pytest.mark.parametrize("nx,ny,spp", [
+    (8, 4, 1),      # image smaller than a tile, single sample
+    (7, 5, 3),      # nothing divides anything
+    (16, 8, 100),   # deep sample loop (the book's spp)
+])
+def test_megakernel_shape_edges(nx, ny, spp):
+    scene, cam, cfg = three_spheres(nx=nx, ny=ny, spp=spp)
+    ref = np.asarray(render_image(scene, cam, cfg))
+    img = np.asarray(render_image_mega(scene, cam, cfg, interpret=True,
+                                       tile=128, k_pix=2))
+    d = np.abs(ref - img)
+    assert (d > 1e-3).mean() < 0.02, d.max()
+    assert np.median(d) < 1e-5
