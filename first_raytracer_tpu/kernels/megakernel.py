@@ -462,16 +462,24 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         hit = active & (t_best < _BIG)
 
         # ---- payload: one-hot extraction of the winner's rows ----
-        # (A single (C, Np) x (Np, T) one-hot matmul would be cheaper but
-        # trips a Mosaic layout hole ("Not implemented: Sublane broadcast")
-        # in this kernel's while-loop context; multiply+reduce sweeps are
-        # ~the same cost at these table sizes.)  Material/texture *types*
-        # are not extracted at all: primitives are group-sorted (see
-        # MegaScenePack), so the winner's type falls out of index
+        # One (C, Np) x (Np, T) one-hot matmul on the MXU replaces the
+        # per-row multiply+reduce VPU sweeps.  HIGHEST precision makes the
+        # selection exact (bf16x3 decomposition reconstructs each f32
+        # exactly; the single nonzero one-hot column sums losslessly).
+        # Row slices are taken as (1, T) sub-blocks (k:k+1), never as
+        # vector-reshape, which is what tripped Mosaic's "Sublane
+        # broadcast" hole in the earlier attempt.  Material/texture
+        # *types* are not extracted at all: primitives are group-sorted
+        # (see MegaScenePack), so the winner's type falls out of index
         # compares against the static group boundaries.
-        def extract(ref, oh, rows):
-            return [jnp.sum(oh * ref[k, :][:, None], axis=0)[None, :]
-                    for k in rows]
+        def extract_tbl(ref, oh):
+            return jax.lax.dot_general(
+                ref[:, :], oh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)  # (rows, T)
+
+        def pick(res, rows):
+            return [res[k:k + 1, :] for k in rows]
 
         def group_masks(w, g):
             """(is_metal, is_diel, is_check) from winner index w."""
@@ -493,14 +501,16 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         if ns:
             iota_s = jax.lax.broadcasted_iota(i32, (sph_ref.shape[1], T), 0)
             oh_s = (iota_s == ps).astype(f32)
-            (scx, scy, scz, sinvr) = extract(sph_ref, oh_s, (0, 1, 2, 15))
-            mat_s = extract(sph_ref, oh_s, (4, 5, 6, 7) + chk_rows_s)
+            res_s = extract_tbl(sph_ref, oh_s)
+            (scx, scy, scz, sinvr) = pick(res_s, (0, 1, 2, 15))
+            mat_s = pick(res_s, (4, 5, 6, 7) + chk_rows_s)
             type_s = group_masks(ps, sph_groups)
         if nt:
             iota_t = jax.lax.broadcasted_iota(i32, (tri_ref.shape[1], T), 0)
             oh_t = (iota_t == pt).astype(f32)
-            (tnx, tny, tnz) = extract(tri_ref, oh_t, (9, 10, 11))
-            mat_t = extract(tri_ref, oh_t, (12, 13, 14, 15) + chk_rows_t)
+            res_t = extract_tbl(tri_ref, oh_t)
+            (tnx, tny, tnz) = pick(res_t, (9, 10, 11))
+            mat_t = pick(res_t, (12, 13, 14, 15) + chk_rows_t)
             type_t = group_masks(pt, tri_groups)
 
         px = ox + t_best * dx
