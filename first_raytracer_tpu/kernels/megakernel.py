@@ -109,7 +109,7 @@ class MegaScenePack:
     """
 
     spheres: jax.Array  # (16, Ns_pad) f32
-    sph_mx: jax.Array   # (Ns_pad, 8) f32 MXU operand: cx cy cz |C|^2-r^2 pad
+    sph_mx: jax.Array   # (Ns_pad, 8) f32 column table: cx cy cz |C|^2-r^2 pad
     tris: jax.Array     # (24, Nt_pad) f32
     sphere_rows: int
     tri_rows: int
@@ -171,12 +171,11 @@ def pack_scene_mega(scene) -> MegaScenePack:
 
     sph = np.zeros((_SPH_ROWS, ns_pad), np.float32)
     sph[0:3] = _BIG  # sentinel: never-hit center, radius 0
-    # MXU operand for the expanded quadratic: b = o.d - d.C and
+    # Column table for the expanded quadratic: b = o.d - d.C and
     # c = |o|^2 - 2 o.C + (|C|^2 - r^2); the constant term is computed in
     # f64 so the ground sphere's |C|^2 - r^2 cancellation (sphere.py
-    # docstring) is exact.  Sentinel rows: disc = (oc.d)^2 - |oc|^2 <= 0
-    # by Cauchy-Schwarz (unit d, r=0), i.e. a guaranteed miss; at 1e30 the
-    # arithmetic saturates to inf/NaN whose comparisons are false -> miss.
+    # docstring) is exact.  (Ns, 1)-column layout so the kernel broadcasts
+    # sublane vectors against (1, T) ray rows on the VPU.
     mx = np.zeros((ns_pad, 8), np.float32)
     mx[:, 0:3] = _BIG
     sph_groups = (0,) * 7
@@ -193,7 +192,11 @@ def pack_scene_mega(scene) -> MegaScenePack:
         c64 = c.astype(np.float64)
         r64 = r.astype(np.float64)
         mx[:ns, 3] = ((c64 * c64).sum(1) - r64 * r64).astype(np.float32)
-    mx[ns:, 3] = np.float32(3e38)  # ~f32 max: sentinel c0 term
+    # Sentinel c0 = +inf: cq = inf -> disc = -inf or NaN -> every root
+    # comparison is false -> guaranteed miss, independent of ray values
+    # (3e38 left a ~1e-11-measure direction set where bq^2 could exceed
+    # c0 without overflowing and fake a hit).
+    mx[ns:, 3] = np.float32(np.inf)
 
     tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
     tri_groups = (0,) * 7
@@ -389,31 +392,27 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         # ---- intersect: dense sweep, sphere part [E: sphere.h hit] ----
         # Expanded quadratic: b = o.d - d.C, c = |o|^2 - 2 o.C + c0 with
         # c0 = |C|^2 - r^2 prepacked in f64 (exact for the huge ground
-        # sphere).  The two (Ns, rays) cross-term planes ride the MXU
-        # (K=8 matmuls), leaving ~13 VPU ops/pair vs ~35 for the oc-form.
+        # sphere).  The cross terms are plain f32 VPU broadcasts of the
+        # (Ns, 1) center columns against the (1, T) ray rows: measured
+        # FASTER than the earlier MXU formulation (f32 dot_general at
+        # HIGHEST lowers to a 6-pass bf16x6 matmul with the K=8
+        # contraction padded to 128 — ~2/3 of the whole iteration's time
+        # for two matmuls), and exactly-rounded f32 instead of bf16x6.
+        # The MXU is left free for the payload-extraction matmul below,
+        # which then overlaps with this VPU sweep.
         t_s = jnp.full((1, T), f32(_BIG))
         ps = jnp.zeros((1, T), i32)
         if ns:
-            zrow = jnp.zeros((1, T), f32)
-            onerow = jnp.ones((1, T), f32)
             od = ox * dx + oy * dy + oz * dz        # (1, T)
             oo = ox * ox + oy * oy + oz * oz
-            rhs_d = jnp.concatenate(
-                [dx, dy, dz, zrow, zrow, zrow, zrow, zrow], axis=0)
-            rhs_o = jnp.concatenate(
-                [-2.0 * ox, -2.0 * oy, -2.0 * oz, onerow,
-                 zrow, zrow, zrow, zrow], axis=0)
-            dn = (((1,), (0,)), ((), ()))
-            dc = jax.lax.dot_general(
-                mx_ref[:, :], rhs_d, dimension_numbers=dn,
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)     # (Ns_pad, T) d.C
-            occ = jax.lax.dot_general(
-                mx_ref[:, :], rhs_o, dimension_numbers=dn,
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)     # -2 o.C + c0
+            cx = mx_ref[:, 0:1]
+            cy = mx_ref[:, 1:2]
+            cz = mx_ref[:, 2:3]
+            c0 = mx_ref[:, 3:4]
+            dc = cx * dx + cy * dy + cz * dz         # (Ns_pad, T) d.C
+            oc_ = cx * ox + cy * oy + cz * oz        # (Ns_pad, T) o.C
             bq = od - dc
-            cq = oo + occ
+            cq = oo - 2.0 * oc_ + c0
             disc = bq * bq - cq
             sq = jnp.sqrt(disc)      # NaN on miss; all compares false
             tn = -bq - sq
