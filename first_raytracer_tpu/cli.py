@@ -57,6 +57,15 @@ def _cmd_render(args):
     elif args.mode == "mega":
         from .kernels.megakernel import render_image_mega
         img = render_image_mega(scene, camera, cfg, seed=args.seed)
+    elif args.mode == "ring":
+        # Ring-sharded scene (parallel/ring.py): geometry partitioned over
+        # all devices, shards ppermute'd each bounce.  Degenerate-but-valid
+        # on one chip; the scale-out path on a pod slice.
+        from .parallel.mesh import make_render_mesh
+        from .parallel.ring import render_image_ring
+        img = render_image_ring(scene, camera, cfg,
+                                make_render_mesh(num_spp_shards=1),
+                                seed=args.seed)
     else:
         img = render_image(scene, camera, cfg, seed=args.seed, accel=accel,
                            mode=args.mode)
@@ -163,10 +172,11 @@ def main(argv=None):
             sp.add_argument("--batch-spp", type=int, default=1)
             sp.add_argument(
                 "--mode", default="mega",
-                choices=("mega", "wavefront", "regenerative"),
+                choices=("mega", "wavefront", "regenerative", "ring"),
                 help="mega: persistent-lane Pallas megakernel (fastest); "
                      "wavefront/regenerative: XLA-orchestrated loops "
-                     "(support --bvh and gradients)")
+                     "(support --bvh and gradients); ring: scene "
+                     "geometry sharded over all devices, ppermute ring")
         if name == "bench":
             sp.add_argument("--rays", type=int, default=0)
         if name == "fit":

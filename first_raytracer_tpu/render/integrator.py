@@ -156,12 +156,26 @@ def recompute_hit(scene, origin, direction, prim, t_min):
 
 def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
                accel=None, intersect_fn: Optional[Callable] = None,
-               return_stats: bool = False):
+               return_stats: bool = False,
+               resolve_fn: Optional[Callable] = None,
+               sync_axis: Optional[str] = None):
     """Trace R primary rays to completion; returns (R, 3) radiance.
 
     ``intersect_fn(scene, accel, origin, direction, t_min) ->
     (prim, t, hit)`` defaults to ``default_intersect`` (brute force without
     an accel pytree, flat-BVH walk with one).
+
+    ``resolve_fn(scene, accel, origin, direction, t_min) ->
+    (t, p, n, mat, hit)`` overrides the whole closest-hit resolution
+    (intersect + differentiable recompute) — the hook the ring-sharded
+    scene mode (parallel/ring.py) uses, where no device holds the full
+    geometry and the hit record is assembled over ``ppermute`` hops.
+
+    ``sync_axis``: when tracing inside ``shard_map`` with collectives in
+    the bounce body (ring mode), the while_loop's any-alive early exit must
+    be *globally* uniform or devices would disagree on the trip count and
+    deadlock the collective; pass the mesh axis name to ``psum`` the
+    predicate.
 
     With ``return_stats=True`` also returns ``segments``: (R,) i32 count of
     ray segments traced per path (occupancy/rays-per-second accounting,
@@ -169,15 +183,21 @@ def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
     """
     if intersect_fn is None:
         intersect_fn = default_intersect
+    if resolve_fn is None:
+        def resolve_fn(scene, accel, origin, direction, t_min):
+            prim, _, hit = intersect_fn(scene, accel, origin, direction,
+                                        t_min)
+            t, p, n, mat = recompute_hit(scene, origin, direction, prim,
+                                         t_min)
+            return t, p, n, mat, hit
     R = origin.shape[0]
     f32 = jnp.float32
 
     def bounce(d, state):
         origin, direction, throughput, radiance, alive, segments = state
         segments = segments + alive.astype(jnp.int32)
-        prim, _, hit = intersect_fn(scene, accel, origin, direction,
-                                    cfg.t_min)
-        t, p, n, mat = recompute_hit(scene, origin, direction, prim, cfg.t_min)
+        t, p, n, mat, hit = resolve_fn(scene, accel, origin, direction,
+                                       cfg.t_min)
         # The recompute is the authority on whether the chosen primitive
         # really hits (keeps every intersector consistent with the
         # differentiable path), and dead/miss lanes get sanitized hit data so
@@ -218,7 +238,11 @@ def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
     else:
         def cond(carry):
             d, state = carry
-            return (d <= cfg.max_depth) & jnp.any(state[4])
+            any_alive = jnp.any(state[4])
+            if sync_axis is not None:
+                any_alive = jax.lax.psum(
+                    any_alive.astype(jnp.int32), sync_axis) > 0
+            return (d <= cfg.max_depth) & any_alive
 
         def body(carry):
             d, state = carry

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Megakernel knob sweep + timing on the full final scene (real TPU).
+
+Usage: python tools/mega_ablate.py [--tiles 256,512,1024] [--kpix 32,64,128]
+"""
+import argparse
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from first_raytracer_tpu.core import rng
+from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
+                                                    render_pixels_mega)
+from first_raytracer_tpu.scene.builders import PRESETS
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="random-spheres")
+    ap.add_argument("--tiles", default="512")
+    ap.add_argument("--kpix", default="32,64,128")
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    scene, cam, cfg = PRESETS[args.preset]()
+    pack = pack_scene_mega(scene)
+    key = rng.base_key(0)
+    total = cfg.num_rays
+
+    print(f"# {args.preset} {cfg.nx}x{cfg.ny}@{cfg.spp} dev={jax.devices()[0]}",
+          flush=True)
+    for tile in (int(x) for x in args.tiles.split(",")):
+        for kp in (int(x) for x in args.kpix.split(",")):
+            try:
+                rad, seg = render_pixels_mega(pack, cam, cfg, key, tile=tile,
+                                              k_pix=kp)
+                jax.block_until_ready((rad, seg))
+                best = float("inf")
+                for _ in range(args.repeats):
+                    t0 = time.perf_counter()
+                    jax.block_until_ready(
+                        render_pixels_mega(pack, cam, cfg, key, tile=tile,
+                                           k_pix=kp))
+                    best = min(best, time.perf_counter() - t0)
+                print(f"tile={tile:5d} k_pix={kp:4d}  {best:.3f}s "
+                      f"{total / best / 1e6:8.2f} Mpaths/s", flush=True)
+            except Exception as e:  # noqa: BLE001 - sweep robustness
+                print(f"tile={tile:5d} k_pix={kp:4d}  FAILED: "
+                      f"{type(e).__name__}: {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
