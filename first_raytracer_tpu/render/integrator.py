@@ -185,8 +185,14 @@ def trace_rays(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
         intersect_fn = default_intersect
     if resolve_fn is None:
         def resolve_fn(scene, accel, origin, direction, t_min):
-            prim, _, hit = intersect_fn(scene, accel, origin, direction,
-                                        t_min)
+            # Selection is non-differentiable by contract (SURVEY.md §7
+            # step 6): tangents are cut at the intersector's inputs so
+            # *any* intersect_fn — including the Pallas kernel, which has
+            # no JVP rule — works under reverse-mode; all gradients come
+            # from the recompute below.
+            sg = jax.lax.stop_gradient
+            prim, _, hit = intersect_fn(sg(scene), accel, sg(origin),
+                                        sg(direction), t_min)
             t, p, n, mat = recompute_hit(scene, origin, direction, prim,
                                          t_min)
             return t, p, n, mat, hit

@@ -161,3 +161,29 @@ def test_scan_matches_while_forward(setup):
     # Different loop primitives compile to different fusion orders; allow
     # accumulated f32 associativity drift only.
     np.testing.assert_allclose(rad_scan, rad_while, atol=1e-4)
+
+
+def test_grads_through_pallas_intersector(setup):
+    """The fused Pallas closest-hit kernel is usable in the differentiable
+    path as-is: its outputs (prim id, t, hit) are selection-only — prim/hit
+    are non-differentiable types and t is discarded by the integrator —
+    so no tangent ever flows through the pallas_call, and the gradient
+    comes entirely from the differentiable hit recompute (SURVEY.md §7
+    step 6 "differentiate the hit equation, not the traversal").  Grads
+    must match the brute-force intersector's exactly (same selection)."""
+    import functools
+
+    from first_raytracer_tpu.kernels.intersect_pallas import (
+        intersect_pallas, pack_scene_pallas)
+
+    scene, cam, cfg, key, ids, target = setup
+    params, _ = split_params(scene, fields=("albedo", "sphere_center"))
+    _, g_brute = render_loss_and_grads(
+        params, scene, cam, cfg, key, ids, target)
+    pack = pack_scene_pallas(scene)
+    fn = functools.partial(intersect_pallas, interpret=True)
+    _, g_pallas = render_loss_and_grads(
+        params, scene, cam, cfg, key, ids, target, pack, intersect_fn=fn)
+    for f in params:
+        np.testing.assert_allclose(np.asarray(g_pallas[f]),
+                                   np.asarray(g_brute[f]), atol=1e-6)
