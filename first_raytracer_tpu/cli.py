@@ -23,6 +23,10 @@ import os
 import sys
 import time
 
+from .utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
+
 
 def _build(args):
     from .accel.build import build_bvh

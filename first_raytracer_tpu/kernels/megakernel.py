@@ -26,10 +26,9 @@ megakernels):
   load.  Measured on the final scene [BASELINE.json:8]: lane occupancy
   33% at K=1 -> 77% at K=32.
 - Each lane accumulates its *current* pixel's radiance in registers and
-  flushes it to the per-pixel output row block on pixel-boundary
-  crossings (a K-way one-hot masked update, ~3% of the intersect sweep's
-  cost); the output block is laid out as ``(3K, T)`` so the flush is a
-  static row write, never a scatter.
+  flushes it to the per-pixel output block on pixel-boundary crossings:
+  a single (K, T) one-hot of the crossing lanes' pixel slots fused into
+  three channel-major block updates — never a scatter.
 - A ``lax.while_loop`` with an all-lanes-done predicate runs inside the
   kernel (data-dependent trip count, bounded by ``K * spp *
   (max_depth + 1)``).
@@ -81,7 +80,8 @@ _PARITY = 0x1BD11BDA
 
 # Sphere plane rows (16, Ns_pad):
 #   0-2 center, 3 radius, 4 param (fuzz|ref_idx by group), 5-7 albedo,
-#   8-10 albedo2, 11 tex_scale, 15 1/radius (0 for sentinel).
+#   8-10 albedo2, 11 tex_scale, 12 |C|^2-r^2 (c0, f64-exact; +inf for
+#   sentinel), 15 1/radius (0 for sentinel).
 #   mat/tex *types* are encoded by the group-sorted index ranges.
 _SPH_ROWS = 16
 # Triangle plane rows (24, Nt_pad):
@@ -191,12 +191,20 @@ def pack_scene_mega(scene) -> MegaScenePack:
         mx[:ns, 0:3] = c
         c64 = c.astype(np.float64)
         r64 = r.astype(np.float64)
-        mx[:ns, 3] = ((c64 * c64).sum(1) - r64 * r64).astype(np.float32)
+        c0 = ((c64 * c64).sum(1) - r64 * r64).astype(np.float32)
+        mx[:ns, 3] = c0
+        sph[12, :ns] = c0  # winner-t recompute reads c0 from the payload
     # Sentinel c0 = +inf: cq = inf -> disc = -inf or NaN -> every root
     # comparison is false -> guaranteed miss, independent of ray values
     # (3e38 left a ~1e-11-measure direction set where bq^2 could exceed
     # c0 without overflowing and fake a hit).
     mx[ns:, 3] = np.float32(np.inf)
+    # Payload-table sentinel c0 must stay FINITE: the one-hot extraction
+    # matmul multiplies every column by 0 or 1, and 0 * inf = NaN would
+    # poison the winner's row whenever any sentinel exists.  _BIG is
+    # enough: a sentinel can only win when every sphere missed, and the
+    # winner-t replay on (center=_BIG, c0=_BIG) still yields miss/BIG.
+    sph[12, ns:] = np.float32(_BIG)
 
     tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
     tri_groups = (0,) * 7
@@ -365,6 +373,34 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
     # flush into some rows).
     rad_ref[:, :] = jnp.zeros((3 * K, T), f32)
 
+    # Packed closest-hit selection: candidate t's are positive f32, so
+    # their int32 bit patterns order identically; clearing the low
+    # index-width mantissa bits and OR-ing in the primitive index turns
+    # min+argmin (two sublane reductions, argmin the pricier) into ONE
+    # integer min.  The truncated t is discarded — the winner's exact t
+    # is recomputed from its extracted payload rows (same arithmetic as
+    # the sweep, ~20 ops on (1, T) ~ 1/Ns of a sweep op).  Selection can
+    # differ from true argmin only for t's equal within 2^-(24-idx_bits)
+    # relative (near-coincident surfaces), where either candidate is a
+    # legitimate closest hit.  The iotas are hoisted out of the bounce
+    # loop.
+    ns_pad = mx_ref.shape[0] if ns else 0
+    nt_pad = tri_ref.shape[1] if nt else 0
+    if ns:
+        idx_bits_s = max((ns_pad - 1).bit_length(), 1)
+        iota_s = jax.lax.broadcasted_iota(i32, (ns_pad, T), 0)
+    if nt:
+        idx_bits_t = max((nt_pad - 1).bit_length(), 1)
+        iota_t = jax.lax.broadcasted_iota(i32, (nt_pad, T), 0)
+
+    def packed_min(tall, iota, idx_bits):
+        hi = jnp.int32(-(1 << idx_bits))  # ~((1 << idx_bits) - 1)
+        packed = (jax.lax.bitcast_convert_type(tall, i32) & hi) | iota
+        pm = jnp.min(packed, axis=0)[None, :]
+        return pm & jnp.int32((1 << idx_bits) - 1), pm
+
+    iota_k = jax.lax.broadcasted_iota(i32, (K, T), 0)
+
     # --- init: sample 0 camera rays ---
     s0 = jnp.zeros((1, T), i32)
     rid0 = ray_id(s0)
@@ -402,9 +438,9 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         # which then overlaps with this VPU sweep.
         t_s = jnp.full((1, T), f32(_BIG))
         ps = jnp.zeros((1, T), i32)
+        od = ox * dx + oy * dy + oz * dz            # (1, T)
+        oo = ox * ox + oy * oy + oz * oz
         if ns:
-            od = ox * dx + oy * dy + oz * dz        # (1, T)
-            oo = ox * ox + oy * oy + oz * oz
             cx = mx_ref[:, 0:1]
             cy = mx_ref[:, 1:2]
             cz = mx_ref[:, 2:3]
@@ -420,8 +456,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             nok = tn > t_min
             fok = tf_ > t_min
             tall = jnp.where(nok, tn, jnp.where(fok, tf_, f32(_BIG)))
-            t_s = jnp.min(tall, axis=0)[None, :]
-            ps = jnp.argmin(tall, axis=0).astype(i32)[None, :]
+            ps, _ = packed_min(tall, iota_s, idx_bits_s)
 
         t_t = jnp.full((1, T), f32(_BIG))
         pt = jnp.zeros((1, T), i32)
@@ -453,12 +488,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > t_min) & (tt < _BIG))
             tallt = jnp.where(hitm, tt, f32(_BIG))
-            t_t = jnp.min(tallt, axis=0)[None, :]
-            pt = jnp.argmin(tallt, axis=0).astype(i32)[None, :]
-
-        is_tri = t_t < t_s
-        t_best = jnp.where(is_tri, t_t, t_s)
-        hit = active & (t_best < _BIG)
+            pt, _ = packed_min(tallt, iota_t, idx_bits_t)
 
         # ---- payload: one-hot extraction of the winner's rows ----
         # One (C, Np) x (Np, T) one-hot matmul on the MXU replaces the
@@ -498,19 +528,54 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         chk_rows_s = (8, 9, 10, 11) if has_checker else ()
         chk_rows_t = (16, 17, 18, 19) if has_checker else ()
         if ns:
-            iota_s = jax.lax.broadcasted_iota(i32, (sph_ref.shape[1], T), 0)
             oh_s = (iota_s == ps).astype(f32)
             res_s = extract_tbl(sph_ref, oh_s)
             (scx, scy, scz, sinvr) = pick(res_s, (0, 1, 2, 15))
             mat_s = pick(res_s, (4, 5, 6, 7) + chk_rows_s)
             type_s = group_masks(ps, sph_groups)
+            # Winner's exact t: the sweep's arithmetic replayed on the
+            # extracted rows (c0 from payload row 12) — (1, T) cost.
+            (c0w,) = pick(res_s, (12,))
+            dcw = scx * dx + scy * dy + scz * dz
+            ocw = scx * ox + scy * oy + scz * oz
+            bqw = od - dcw
+            cqw = oo - 2.0 * ocw + c0w
+            sqw = jnp.sqrt(bqw * bqw - cqw)
+            tnw = -bqw - sqw
+            tfw = sqw - bqw
+            t_s = jnp.where(tnw > t_min, tnw,
+                            jnp.where(tfw > t_min, tfw, f32(_BIG)))
         if nt:
-            iota_t = jax.lax.broadcasted_iota(i32, (tri_ref.shape[1], T), 0)
             oh_t = (iota_t == pt).astype(f32)
             res_t = extract_tbl(tri_ref, oh_t)
             (tnx, tny, tnz) = pick(res_t, (9, 10, 11))
             mat_t = pick(res_t, (12, 13, 14, 15) + chk_rows_t)
             type_t = group_masks(pt, tri_groups)
+            # Winner's exact t: Möller-Trumbore replayed on rows 0-8.
+            (wv0x, wv0y, wv0z, we1x, we1y, we1z, we2x, we2y, we2z) = pick(
+                res_t, tuple(range(9)))
+            wpx = dy * we2z - dz * we2y
+            wpy = dz * we2x - dx * we2z
+            wpz = dx * we2y - dy * we2x
+            wdet = we1x * wpx + we1y * wpy + we1z * wpz
+            wok = jnp.abs(wdet) > 1e-9
+            winv = jnp.where(wok, _recip(jnp.where(wok, wdet, 1.0)), 0.0)
+            wtx = ox - wv0x
+            wty = oy - wv0y
+            wtz = oz - wv0z
+            wuu = (wtx * wpx + wty * wpy + wtz * wpz) * winv
+            wqx = wty * we1z - wtz * we1y
+            wqy = wtz * we1x - wtx * we1z
+            wqz = wtx * we1y - wty * we1x
+            wvv = (dx * wqx + dy * wqy + dz * wqz) * winv
+            wtt = (we2x * wqx + we2y * wqy + we2z * wqz) * winv
+            whit = (wok & (wuu >= 0.0) & (wvv >= 0.0) & (wuu + wvv <= 1.0)
+                    & (wtt > t_min) & (wtt < _BIG))
+            t_t = jnp.where(whit, wtt, f32(_BIG))
+
+        is_tri = t_t < t_s
+        t_best = jnp.where(is_tri, t_t, t_s)
+        hit = active & (t_best < _BIG)
 
         px = ox + t_best * dx
         py = oy + t_best * dy
@@ -631,18 +696,21 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         segs = segs + jnp.where(active, 1, 0)
 
         # ---- pixel-boundary flush + in-lane sample regeneration ----
+        # The output block is channel-major (3, K, T): one (K, T) one-hot
+        # of the crossing lanes' current pixel slot, three fused
+        # multiply-add block updates.  (The earlier K-loop of 3K masked
+        # row updates measured ~13% of the whole kernel at K=64; this
+        # form is ~3 (K, T) ops.)  Non-crossing lanes get slot K (out of
+        # range) so the one-hot row is all-zero for them.
         term = active & ~cont
         samp_new = jnp.where(term, samp + 1, samp)
         crossed = term & (samp_new % spp == 0)
         j_cur = sampc // spp
-        for jj in range(K):
-            m = crossed & (j_cur == jj)
-            rad_ref[3 * jj, :] = rad_ref[3 * jj, :] + jnp.where(
-                m, rx, zero)[0, :]
-            rad_ref[3 * jj + 1, :] = rad_ref[3 * jj + 1, :] + jnp.where(
-                m, ry, zero)[0, :]
-            rad_ref[3 * jj + 2, :] = rad_ref[3 * jj + 2, :] + jnp.where(
-                m, rz, zero)[0, :]
+        j_eff = jnp.where(crossed, j_cur, K)
+        ohf = (iota_k == j_eff).astype(f32)  # (K, T)
+        rad_ref[0:K, :] = rad_ref[0:K, :] + ohf * rx
+        rad_ref[K:2 * K, :] = rad_ref[K:2 * K, :] + ohf * ry
+        rad_ref[2 * K:3 * K, :] = rad_ref[2 * K:3 * K, :] + ohf * rz
         rx = jnp.where(crossed, 0.0, rx)
         ry = jnp.where(crossed, 0.0, ry)
         rz = jnp.where(crossed, 0.0, rz)
@@ -713,6 +781,11 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
     lanes = n_tiles * tile
     k_pix = max(1, -(-num_pixels // lanes))
+    if not interpret:
+        # The channel-major flush slices rad_ref at rows 0/K/2K: keep K a
+        # sublane multiple so the slices are aligned for Mosaic.  Extra
+        # slots map to out-of-range pixels (handled by the valid mask).
+        k_pix = -(-k_pix // 8) * 8
     grid = (n_tiles,)
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
@@ -750,8 +823,9 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
         ),
         interpret=interpret,
     )(cam, key, pix0, sph, mx, tri)
-    # (3K, L) row blocks -> (K*L, 3): flat index j*L + lane == local pixel.
-    rad = rad.reshape(k_pix, 3, lanes).transpose(0, 2, 1).reshape(-1, 3)
+    # Channel-major (3, K, L) row blocks -> (K*L, 3): flat index
+    # j*L + lane == local pixel.
+    rad = rad.reshape(3, k_pix, lanes).transpose(1, 2, 0).reshape(-1, 3)
     return rad[:num_pixels], seg, its
 
 

@@ -18,11 +18,14 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+
+from first_raytracer_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 import numpy as np
 
 from first_raytracer_tpu.core import rng

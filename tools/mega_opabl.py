@@ -14,12 +14,16 @@ import sys
 import time
 import types
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/frt_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+# Persistent compile cache: enabled below via utils.cache (env vars are too late
+# here - sitecustomize imports jax first).
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from first_raytracer_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 import numpy as np
 
 from first_raytracer_tpu.core import rng
