@@ -107,7 +107,8 @@ def _cmd_fit(args):
     import numpy as np
 
     from .core import rng as _rng
-    from .diff.grad import ray_radiance, split_params, sgd_step
+    from .diff.grad import (make_fit_step, ray_radiance, split_params,
+                            sgd_step)
 
     scene, camera, cfg, accel = _build(args)
     import dataclasses as _dc
@@ -127,10 +128,23 @@ def _cmd_fit(args):
                     None), jnp.float32),
         true_params)
 
-    step = jax.jit(lambda p, k: sgd_step(
-        p, scene, camera, cfg, k, ids, target, lr=args.lr, accel=accel))
+    if args.opt == "sgd":
+        raw = jax.jit(lambda p, k: sgd_step(
+            p, scene, camera, cfg, k, ids, target, lr=args.lr, accel=accel))
+        opt_state = None
+
+        def step(p, s, k):
+            loss, p = raw(p, k)
+            return loss, p, s
+    else:
+        import optax
+        opt = {"adam": optax.adam, "adamw": optax.adamw,
+               "rmsprop": optax.rmsprop}[args.opt](args.lr)
+        opt_state = opt.init(params)
+        step = make_fit_step(scene, camera, cfg, ids, target, opt,
+                             accel=accel)
     for i in range(args.steps):
-        loss, params = step(params, key)
+        loss, params, opt_state = step(params, opt_state, key)
         if i % args.log_every == 0 or i == args.steps - 1:
             err = jax.tree_util.tree_map(
                 lambda a, b: float(jnp.max(jnp.abs(a - b))), params,
@@ -185,6 +199,10 @@ def main(argv=None):
             sp.add_argument("--rays", type=int, default=0)
         if name == "fit":
             sp.add_argument("--fields", default="albedo")
+            sp.add_argument("--opt", default="sgd",
+                            choices=("sgd", "adam", "adamw", "rmsprop"),
+                            help="optimizer: plain SGD or an optax "
+                                 "transformation (diff.grad.make_fit_step)")
             sp.add_argument("--steps", type=int, default=60)
             sp.add_argument("--lr", type=float, default=0.8)
             sp.add_argument("--log-every", type=int, default=10)

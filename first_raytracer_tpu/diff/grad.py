@@ -30,7 +30,8 @@ from ..render.camera import generate_rays
 from ..render.integrator import RenderConfig, trace_rays
 
 __all__ = ["DIFF_FIELDS", "split_params", "merge_params", "ray_radiance",
-           "render_loss", "render_loss_and_grads", "sgd_step"]
+           "render_loss", "render_loss_and_grads", "sgd_step",
+           "make_fit_step"]
 
 # The differentiable parameter set named by the north-star [BASELINE.json:5]:
 # material albedo/fuzz/IOR + sphere centers/radii (+ checker secondary color
@@ -89,3 +90,24 @@ def sgd_step(params, scene, camera, cfg, key, ray_ids, target,
     new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
                                         grads)
     return loss, new_params
+
+
+def make_fit_step(scene, camera, cfg, ray_ids, target, optimizer,
+                  accel=None, intersect_fn=None):
+    """Jitted inverse-rendering step around any optax GradientTransformation.
+
+    Returns ``step(params, opt_state, key) -> (loss, params, opt_state)``.
+    The plain ``sgd_step`` above needs no state; this is the stateful
+    generalization (Adam & friends) used by ``cli fit --opt``.
+    """
+    import optax
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(render_loss)(
+            params, scene, camera, cfg, key, ray_ids, target,
+            accel=accel, intersect_fn=intersect_fn)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    return step

@@ -19,4 +19,9 @@ def enable_persistent_cache(path: str = "/tmp/frt_jax_cache") -> None:
 
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir", path)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+        # Persist EVERYTHING: on the axon toolchain even one-op programs
+        # round-trip the remote compile tunnel (observed minutes under
+        # load), so the usual only-cache-slow-compiles threshold would
+        # leave every fresh process paying them again.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -24,7 +24,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/frt_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 assert jax.devices()[0].platform == "cpu", (
     "unit suite must run on the virtual CPU mesh, got "
     f"{jax.devices()}")

@@ -187,3 +187,27 @@ def test_grads_through_pallas_intersector(setup):
     for f in params:
         np.testing.assert_allclose(np.asarray(g_pallas[f]),
                                    np.asarray(g_brute[f]), atol=1e-6)
+
+
+def test_optax_fit_step_converges(setup):
+    """make_fit_step (optax Adam) drives a perturbed albedo toward truth —
+    the stateful-optimizer generalization of sgd_step used by cli fit."""
+    import optax
+
+    from first_raytracer_tpu.diff.grad import make_fit_step, ray_radiance
+
+    scene, cam, cfg, key, ids, _ = setup
+    true_params, _ = split_params(scene, fields=("albedo",))
+    target = ray_radiance(true_params, scene, cam, cfg, key, ids)
+    albedo0 = np.asarray(true_params["albedo"]).copy()
+    albedo = albedo0.copy()
+    albedo[1] = [0.5, 0.5, 0.1]
+    params = {"albedo": jnp.asarray(albedo)}
+    opt = optax.adam(0.05)
+    state = opt.init(params)
+    step = make_fit_step(scene, cam, cfg, ids, target, opt)
+    err0 = float(np.abs(np.asarray(params["albedo"])[1] - albedo0[1]).sum())
+    for _ in range(40):
+        loss, params, state = step(params, state, key)
+    err1 = float(np.abs(np.asarray(params["albedo"])[1] - albedo0[1]).sum())
+    assert err1 < 0.5 * err0, (err0, err1, float(loss))
