@@ -97,6 +97,19 @@ def _cmd_bench(args):
     print(json.dumps(throughput(n, 0, secs)))
 
 
+def _cmd_compare(args):
+    """Quantified image diff (PPM/PNG/npz golden), for the pixel-allclose
+    gate [BASELINE.json:2]: compare our render against another render or a
+    reference binary's PPM output."""
+    from .render.image import image_diff_stats, read_image
+
+    stats = image_diff_stats(read_image(args.a), read_image(args.b))
+    print(json.dumps(stats))
+    if args.max_frac_gt_4 is not None:
+        return 0 if stats["frac_pixels_gt_4"] <= args.max_frac_gt_4 else 1
+    return 0
+
+
 def _cmd_fit(args):
     """Inverse-rendering demo [BASELINE.json:11]: perturb scene parameters,
     recover them by SGD on a pixel loss; checkpoints learned params
@@ -173,6 +186,14 @@ def _cmd_occupancy(args):
 def main(argv=None):
     p = argparse.ArgumentParser(prog="first_raytracer_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
+    cp = sub.add_parser("compare", help="quantified image diff "
+                        "(ppm/png/npz); nonzero exit if above threshold")
+    cp.set_defaults(fn=_cmd_compare)
+    cp.add_argument("a")
+    cp.add_argument("b")
+    cp.add_argument("--max-frac-gt-4", type=float, default=None,
+                    help="fail (exit 1) if more than this fraction of "
+                         "pixels differ by >4/255 in any channel")
     for name, fn in [("render", _cmd_render), ("bench", _cmd_bench),
                      ("occupancy", _cmd_occupancy), ("fit", _cmd_fit)]:
         sp = sub.add_parser(name)
