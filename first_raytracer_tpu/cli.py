@@ -54,10 +54,21 @@ def _cmd_render(args):
     scene, camera, cfg, accel = _build(args)
     t0 = time.perf_counter()
     if args.checkpoint:
+        on_batch = None
+        if args.preview:
+            # Observability (SURVEY.md §5.5): running-mean preview image
+            # after every batch, from the progressive accumulator state.
+            os.makedirs(os.path.dirname(args.preview) or ".", exist_ok=True)
+
+            def on_batch(state):
+                write_png(args.preview, state.image(cfg))
+                print(f"preview @ {state.samples_done}/{cfg.spp} spp "
+                      f"-> {args.preview}")
         img = progressive_render(scene, camera, cfg, seed=args.seed,
                                  accel=accel,
                                  checkpoint_path=args.checkpoint,
-                                 samples_per_batch=args.batch_spp)
+                                 samples_per_batch=args.batch_spp,
+                                 on_batch=on_batch)
     elif args.mode == "mega":
         from .kernels.megakernel import render_image_mega
         img = render_image_mega(scene, camera, cfg, seed=args.seed)
@@ -209,6 +220,9 @@ def main(argv=None):
             sp.add_argument("--out", default="")
             sp.add_argument("--checkpoint", default="")
             sp.add_argument("--batch-spp", type=int, default=1)
+            sp.add_argument("--preview", default="",
+                            help="with --checkpoint: write a running-mean "
+                                 "preview PNG after every batch")
             sp.add_argument(
                 "--mode", default="mega",
                 choices=("mega", "wavefront", "regenerative", "ring"),

@@ -763,7 +763,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
                max_depth, t_min, ns, nt, sph_groups, tri_groups,
                has_checker, num_pixels=None, total_pixels=None,
                spp_total=None, interpret=False, tile=TILE,
-               k_pix=PIX_PER_LANE):
+               k_pix=PIX_PER_LANE, unroll=4):
     """Launch the kernel over ``num_pixels`` local pixels.
 
     ``pix0`` (traced (1,1) i32) offsets local pixel indices to global ids
@@ -792,7 +792,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, tile=tile, k_pix=k_pix,
         lanes=lanes,
-        unroll=1 if interpret else 4, sph_groups=sph_groups,
+        unroll=1 if interpret else unroll, sph_groups=sph_groups,
         tri_groups=tri_groups, has_checker=has_checker)
     rad, seg, its = pl.pallas_call(
         kernel,
@@ -834,7 +834,7 @@ _mega_jit = jax.jit(
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "sph_groups", "tri_groups", "has_checker",
                      "num_pixels", "total_pixels", "spp_total", "interpret",
-                     "tile", "k_pix"))
+                     "tile", "k_pix", "unroll"))
 
 
 def _cam_smem(camera):
@@ -854,7 +854,7 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
                        interpret: bool = False, tile: int = TILE,
                        k_pix: int = PIX_PER_LANE,
                        return_iters: bool = False,
-                       spp0=0, spp_total: int = None):
+                       spp0=0, spp_total: int = None, unroll: int = 4):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,) i32).
 
     ``radiance_sum`` is the per-pixel sum over spp samples (divide by spp
@@ -874,7 +874,7 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
         sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, spp_total=spp_total,
-        interpret=interpret, tile=tile, k_pix=k_pix)
+        interpret=interpret, tile=tile, k_pix=k_pix, unroll=unroll)
     if return_iters:
         return rad, seg[0], its[0, ::tile]
     return rad, seg[0]
