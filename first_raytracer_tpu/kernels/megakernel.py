@@ -781,11 +781,11 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
     lanes = n_tiles * tile
     k_pix = max(1, -(-num_pixels // lanes))
-    if not interpret:
-        # The channel-major flush slices rad_ref at rows 0/K/2K: keep K a
-        # sublane multiple so the slices are aligned for Mosaic.  Extra
-        # slots map to out-of-range pixels (handled by the valid mask).
-        k_pix = -(-k_pix // 8) * 8
+    # The channel-major flush slices rad_ref at rows 0/K/2K: keep K a
+    # sublane multiple so the slices are aligned for Mosaic.  Extra slots
+    # map to out-of-range pixels (handled by the valid mask).  Applied in
+    # interpret mode too, so CPU tests exercise the compiled mapping.
+    k_pix = -(-k_pix // 8) * 8
     grid = (n_tiles,)
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,

@@ -30,6 +30,7 @@ def main():
     ap.add_argument("--preset", default="random-spheres")
     ap.add_argument("--tiles", default="512")
     ap.add_argument("--kpix", default="32,64,128")
+    ap.add_argument("--unroll", default="4")
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
 
@@ -41,22 +42,23 @@ def main():
     print(f"# {args.preset} {cfg.nx}x{cfg.ny}@{cfg.spp} dev={jax.devices()[0]}",
           flush=True)
     for tile in (int(x) for x in args.tiles.split(",")):
-        for kp in (int(x) for x in args.kpix.split(",")):
+      for kp in (int(x) for x in args.kpix.split(",")):
+        for un in (int(x) for x in args.unroll.split(",")):
             try:
                 rad, seg = render_pixels_mega(pack, cam, cfg, key, tile=tile,
-                                              k_pix=kp)
+                                              k_pix=kp, unroll=un)
                 jax.block_until_ready((rad, seg))
                 best = float("inf")
                 for _ in range(args.repeats):
                     t0 = time.perf_counter()
                     jax.block_until_ready(
                         render_pixels_mega(pack, cam, cfg, key, tile=tile,
-                                           k_pix=kp))
+                                           k_pix=kp, unroll=un))
                     best = min(best, time.perf_counter() - t0)
-                print(f"tile={tile:5d} k_pix={kp:4d}  {best:.3f}s "
+                print(f"tile={tile:5d} k_pix={kp:4d} unroll={un}  {best:.3f}s "
                       f"{total / best / 1e6:8.2f} Mpaths/s", flush=True)
             except Exception as e:  # noqa: BLE001 - sweep robustness
-                print(f"tile={tile:5d} k_pix={kp:4d}  FAILED: "
+                print(f"tile={tile:5d} k_pix={kp:4d} unroll={un}  FAILED: "
                       f"{type(e).__name__}: {str(e)[:120]}", flush=True)
 
 
