@@ -80,3 +80,16 @@ def test_ring_handles_duplicate_primitives_tiebreak(mesh8):
     ref = np.asarray(render_image(dup, cam, cfg, seed=0))
     out = np.asarray(render_image_ring(dup, cam, cfg, mesh8, seed=0))
     _assert_ulp_close(ref, out)
+
+
+def test_ring_on_2d_mesh():
+    # Ring over the tiles axis of a (4, 2) mesh: geometry sharded 4 ways,
+    # replicated across the spp axis; output must still match.
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from first_raytracer_tpu.parallel.mesh import make_render_mesh as mk
+    mesh42 = mk(4, 2)
+    scene, cam, cfg = _small("three-spheres", nx=40, ny=20, spp=2)
+    ref = np.asarray(render_image(scene, cam, cfg, seed=0))
+    out = np.asarray(render_image_ring(scene, cam, cfg, mesh42, seed=0))
+    _assert_ulp_close(ref, out)

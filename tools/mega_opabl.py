@@ -39,20 +39,21 @@ ABLATIONS = {
                 "            sq = disc")],
     "rsqrt": [("            sq = jnp.sqrt(disc)",
                "            sq = disc * jax.lax.rsqrt(disc)")],
-    "noargmin": [("            ps = jnp.argmin(tall, axis=0).astype(i32)[None, :]",
-                  "            ps = jnp.zeros((1, T), i32)")],
-    "nomin": [("            t_s = jnp.min(tall, axis=0)[None, :]",
-               "            t_s = tall[0:1, :]")],
+    "nopack": [("            ps, _ = packed_min(tall, iota_s, idx_bits_s)",
+                "            ps = jnp.zeros((1, T), i32)")],
     "nodots": [("            dc = cx * dx + cy * dy + cz * dz",
                 "            dc = cx * dx"),
                ("            oc_ = cx * ox + cy * oy + cz * oz",
                 "            oc_ = cx * ox")],
     "noquad": [("            bq = od - dc\n            cq = oo - 2.0 * oc_ + c0",
                 "            bq = od - dc\n            cq = oo - oc_")],
-    "nopayload": [("            res_s = extract_tbl(sph_ref, oh_s)",
-                   "            res_s = sph_ref[:, 0:1] + jnp.zeros((1, T), f32)")],
-    "noflush": [("        for jj in range(K):",
-                 "        for jj in range(0):")],
+    "noflush": [("        rad_ref[0:K, :] = rad_ref[0:K, :] + ohf * rx\n"
+                 "        rad_ref[K:2 * K, :] = rad_ref[K:2 * K, :] + ohf * ry\n"
+                 "        rad_ref[2 * K:3 * K, :] = rad_ref[2 * K:3 * K, :] + ohf * rz",
+                 "        rad_ref[0:K, :] = rad_ref[0:K, :] + ohf * rx")],
+    "nowinner": [("            t_s = jnp.where(tnw > t_min, tnw,\n"
+                  "                            jnp.where(tfw > t_min, tfw, f32(_BIG)))",
+                  "            t_s = jnp.min(tall, axis=0)[None, :]")],
     "nodraws2": [("        ju, jv, lu, lv = draws4(nrid, jnp.zeros_like(nrid))",
                   "        ju, jv, lu, lv = u1, u2, u3, coin")],
     "noshade": [("        bz = 1.0 - 2.0 * u1",
