@@ -744,9 +744,11 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
             jnp.zeros((1, T), i32))
     # Unrolled body: fewer any()-cond syncs per bounce and better Mosaic
-    # scheduling (measured +10% at 4x on the final scene); the wasted
-    # trailing iterations per tile are no-ops (all lanes inactive), so
-    # outputs are identical for any unroll factor.
+    # scheduling; the wasted trailing iterations per tile are no-ops (all
+    # lanes inactive), so outputs are identical for any unroll factor.
+    # Re-measured after the round-2 body changes: 2x beats 4x (37.4 vs
+    # 36.1 Mpaths/s) and 8x (34.1); 1x fails to compile (Mosaic internal
+    # error).
     def body_x(carry):
         for _ in range(unroll):
             carry = body(carry)
@@ -763,7 +765,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
                max_depth, t_min, ns, nt, sph_groups, tri_groups,
                has_checker, num_pixels=None, total_pixels=None,
                spp_total=None, interpret=False, tile=TILE,
-               k_pix=PIX_PER_LANE, unroll=4):
+               k_pix=PIX_PER_LANE, unroll=2):
     """Launch the kernel over ``num_pixels`` local pixels.
 
     ``pix0`` (traced (1,1) i32) offsets local pixel indices to global ids
@@ -854,7 +856,7 @@ def render_pixels_mega(pack: MegaScenePack, camera, cfg, key,
                        interpret: bool = False, tile: int = TILE,
                        k_pix: int = PIX_PER_LANE,
                        return_iters: bool = False,
-                       spp0=0, spp_total: int = None, unroll: int = 4):
+                       spp0=0, spp_total: int = None, unroll: int = 2):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,) i32).
 
     ``radiance_sum`` is the per-pixel sum over spp samples (divide by spp
