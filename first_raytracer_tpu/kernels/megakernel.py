@@ -68,11 +68,11 @@ __all__ = ["pack_scene_mega", "MegaScenePack", "render_pixels_mega",
 _BIG = 1e30
 TILE = 512
 _LANE = 128
-# Target pixels per lane (grid-stride): higher -> better occupancy,
-# bigger (3K, T) output block and K-way flush loop.  Measured on the
-# final scene: K=32 -> 77% lane occupancy, K=64 -> 86% (the flush cost
-# eats the difference beyond that).
-PIX_PER_LANE = 64
+# Target pixels per lane (grid-stride): higher -> better occupancy at the
+# cost of a bigger (3K, T) output block.  Re-measured on the final scene
+# after the round-2 one-hot flush (which made large K ~4x cheaper):
+# K=32 -> 34.4, 64 -> 37.4, 96 -> 38.3, 128 -> 37.6 Mpaths/s at unroll 2.
+PIX_PER_LANE = 96
 
 # Threefry-2x32-20 schedule — must match core.rng exactly.
 _ROTATIONS = (13, 15, 26, 6, 17, 29, 16, 24)
