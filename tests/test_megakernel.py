@@ -111,3 +111,25 @@ def test_megakernel_shape_edges(nx, ny, spp):
     d = np.abs(ref - img)
     assert (d > 1e-3).mean() < 0.02, d.max()
     assert np.median(d) < 1e-5
+
+
+def test_megakernel_triangles_only_scene():
+    """ns=0 path: the sphere sweep and its winner-t replay are compiled
+    out entirely; triangle winner replay supplies t/normals/materials."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from first_raytracer_tpu.scene.builders import PRESETS
+
+    scene, cam, cfg = PRESETS["triangle-mesh"](nx=48, ny=24, spp=2)
+    tri_only = dataclasses.replace(
+        scene,
+        sphere_center=jnp.zeros((0, 3), jnp.float32),
+        sphere_radius=jnp.zeros((0,), jnp.float32),
+        sphere_mat=jnp.zeros((0,), jnp.int32),
+    )
+    ref = np.asarray(render_image(tri_only, cam, cfg))
+    img = np.asarray(render_image_mega(tri_only, cam, cfg, interpret=True))
+    diff = np.abs(ref - img)
+    assert (diff > 1e-3).mean() < 0.01, diff.max()
