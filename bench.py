@@ -7,11 +7,13 @@ Metric: Mpaths/s (paths = nx*ny*spp camera paths traced to termination);
 also reports Mrays/s (true traced path segments per second, from the
 integrator's counters).
 
-Fast path (measured fastest on-chip; see tools/perf_sweep.py): the
-regenerative compacted-pool integrator with the fused Pallas intersect
-kernel.  The flat-BVH walk exists for capability parity but lockstep
-gather-walks lose to the fused dense kernel at this scene size on a vector
-machine.  Override with BENCH_MODE=wavefront / BENCH_INTERSECT=brute|bvh.
+Fast path (measured fastest on-chip): the persistent-lane megakernel
+(kernels/megakernel.py).  The flat-BVH walk exists for capability parity
+but lockstep gather-walks lose to the fused dense kernel at this scene
+size on a vector machine.  Override with
+BENCH_MODE=wavefront/regenerative/grad and BENCH_INTERSECT=brute/bvh
+(grad mode: differentiable-pass value+grad throughput over
+BENCH_GRAD_RAYS rays).
 
 The reference publishes no numbers and its mount is empty (BASELINE.md), so
 ``vs_baseline`` is the ratio against the best previously recorded value in
@@ -76,6 +78,23 @@ def main():
         def run():
             rad, seg = render_pixels_mega(mpack, cam, cfg, key)
             return rad, seg
+    elif mode == "grad":
+        # Differentiable-pass throughput [BASELINE.json:11]: value+grad of
+        # an MSE pixel loss w.r.t. the full DIFF_FIELDS parameter set
+        # through the scan-form wavefront integrator (reverse mode).
+        # Paths here are *differentiated* paths; expect ~2 orders below
+        # the forward megakernel (50-deep scan + stored residuals).
+        from first_raytracer_tpu.diff.grad import (render_loss_and_grads,
+                                                   split_params)
+        total = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 16))
+        ids = jnp.arange(total, dtype=jnp.int32)
+        params, _ = split_params(scene)
+        target = jnp.zeros((total, 3), jnp.float32)
+
+        def run():
+            return render_loss_and_grads(params, scene, cam, cfg, key,
+                                         ids, target, accel,
+                                         intersect_fn=intersect_fn)
     elif mode == "regenerative":
         def run():
             return render_rays_regenerative(
@@ -109,6 +128,7 @@ def main():
                              intersect_fn=intersect_fn, return_stats=True)
         return jnp.sum(segs.astype(jnp.int64))
 
+    chunk = min(chunk, total)
     if mode == "mega":
         import numpy as _np
         segments = int(_np.asarray(run()[1], _np.int64).sum())
@@ -129,16 +149,20 @@ def main():
     except (OSError, json.JSONDecodeError):
         pass
     vs = (mpaths / prev) if prev else 1.0
-    try:
-        with open(HISTORY, "w") as f:
-            json.dump({"best_mpaths_s": max(mpaths, prev or 0.0),
-                       "last_mpaths_s": mpaths,
-                       "last_mrays_s": mrays,
-                       "seconds": best,
-                       "mode": mode, "intersect": isect,
-                       "device": str(jax.devices()[0])}, f)
-    except OSError:
-        pass
+    # Only the headline config (megakernel + pallas on the full scene)
+    # updates the round-over-round history; alternate modes (grad,
+    # wavefront, ...) report against it without polluting it.
+    if mode == "mega" and isect == "pallas":
+        try:
+            with open(HISTORY, "w") as f:
+                json.dump({"best_mpaths_s": max(mpaths, prev or 0.0),
+                           "last_mpaths_s": mpaths,
+                           "last_mrays_s": mrays,
+                           "seconds": best,
+                           "mode": mode, "intersect": isect,
+                           "device": str(jax.devices()[0])}, f)
+        except OSError:
+            pass
 
     print(json.dumps({
         "metric": "Mpaths/s final-scene 1200x800@10spp",
