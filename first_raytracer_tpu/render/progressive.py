@@ -8,8 +8,11 @@ reproducible in isolation.  Preemption recovery is therefore just
 "continue the sample loop"; a corrupt/partial tile could be re-rendered by
 id range (deterministic tile-based recovery).
 
-Checkpoints are plain ``.npz`` (dependency-free, inspectable); cadence is
-every ``checkpoint_every`` sample-batches.
+Checkpoints are plain ``.npz`` (dependency-free, inspectable) or, for
+API parity with large-scale training stacks, an orbax PyTree directory —
+pick by path: ``*.npz`` -> npz, anything else -> orbax.  Cadence is every
+``checkpoint_every`` sample-batches; both backends write atomically (npz
+via rename, orbax natively).
 """
 from __future__ import annotations
 
@@ -41,6 +44,9 @@ class ProgressiveState:
         return img.reshape(cfg.ny, cfg.nx, 3)[::-1]
 
     def save(self, path):
+        if not str(path).endswith(".npz"):
+            self._save_orbax(path)
+            return
         tmp = f"{path}.tmp.npz"
         with open(tmp, "wb") as f:
             np.savez(f, radiance_sum=self.radiance_sum,
@@ -49,10 +55,32 @@ class ProgressiveState:
 
     @classmethod
     def load(cls, path):
+        if not str(path).endswith(".npz"):
+            return cls._load_orbax(path)
         z = np.load(path)
         return cls(radiance_sum=z["radiance_sum"],
                    samples_done=int(z["samples_done"]),
                    seed=int(z["seed"]))
+
+    def _save_orbax(self, path):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(path),
+                       {"radiance_sum": self.radiance_sum,
+                        "samples_done": np.int64(self.samples_done),
+                        "seed": np.int64(self.seed)},
+                       force=True)
+
+    @classmethod
+    def _load_orbax(cls, path):
+        import orbax.checkpoint as ocp
+
+        with ocp.PyTreeCheckpointer() as ckptr:
+            t = ckptr.restore(os.path.abspath(path))
+        return cls(radiance_sum=np.asarray(t["radiance_sum"]),
+                   samples_done=int(t["samples_done"]),
+                   seed=int(t["seed"]))
 
     @classmethod
     def fresh(cls, cfg: RenderConfig, seed: int):

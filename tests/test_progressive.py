@@ -1,5 +1,7 @@
 """Checkpoint/resume tests (SURVEY.md §5.4): progressive accumulation equals
 one-shot rendering; a killed-and-resumed render is bit-identical."""
+import dataclasses
+
 import numpy as np
 
 from first_raytracer_tpu.render.api import render_image
@@ -58,7 +60,8 @@ def test_checkpoint_rejects_wrong_seed(tmp_path, tiny_three_spheres):
 def test_progressive_megakernel_matches_wavefront(tmp_path):
     """mode='mega' batches (interpret kernel) == plain progressive render,
     including a mid-run kill/resume."""
-    import numpy as np
+    import dataclasses
+
     from first_raytracer_tpu.render import progressive as prog
     from first_raytracer_tpu.kernels import megakernel as mk
     from first_raytracer_tpu.scene.builders import three_spheres
@@ -97,3 +100,35 @@ def test_progressive_megakernel_matches_wavefront(tmp_path):
         assert np.median(d) < 1e-5
     finally:
         mk._mega_jit = orig
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Non-.npz checkpoint paths use the orbax PyTree backend; resume is
+    bit-identical to the npz path (SURVEY.md §5.4 "save with orbax/npz")."""
+    from first_raytracer_tpu.render.progressive import (ProgressiveState,
+                                                        progressive_render)
+    from first_raytracer_tpu.scene.builders import PRESETS
+
+    scene, cam, cfg = PRESETS["three-spheres"](nx=24, ny=12, spp=4)
+    ck = str(tmp_path / "ckpt_orbax")
+
+    class Stop(Exception):
+        pass
+
+    def killer(state):
+        if state.samples_done == 2:
+            state.save(ck)
+            raise Stop
+
+    try:
+        progressive_render(scene, cam, cfg, seed=3, checkpoint_path=ck,
+                           samples_per_batch=1, on_batch=killer)
+        raise AssertionError("expected simulated preemption")
+    except Stop:
+        pass
+    st = ProgressiveState.load(ck)
+    assert st.samples_done == 2 and st.seed == 3
+    img = progressive_render(scene, cam, cfg, seed=3, checkpoint_path=ck,
+                             samples_per_batch=1)
+    ref = progressive_render(scene, cam, cfg, seed=3, samples_per_batch=1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(ref))
