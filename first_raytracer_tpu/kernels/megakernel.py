@@ -772,6 +772,17 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     — the sharding hook: each mesh device renders its contiguous pixel
     block with globally-keyed RNG.  Unsharded: pix0=0, num_pixels=nx*ny.
     """
+    # Packed closest-hit selection (packed_min) bitcasts candidate t's to
+    # i32 and relies on IEEE ordering for POSITIVE floats only; every
+    # candidate is > t_min, so t_min > 0 is the precondition that makes the
+    # selection sound.  The idx-bits budget (mantissa low bits carry the
+    # winner index) caps the padded primitive-group width at 2^14.
+    if not t_min > 0.0:
+        raise ValueError(f"megakernel requires t_min > 0, got {t_min}")
+    if max(sph.shape[1], tri.shape[1]) > (1 << 14):
+        raise ValueError("megakernel packed selection supports at most "
+                         f"2^14 padded primitives per type, got "
+                         f"{max(sph.shape[1], tri.shape[1])}")
     if num_pixels is None:
         num_pixels = nx * ny
     if total_pixels is None:

@@ -151,6 +151,10 @@ def _ring_resolve(axis: str, n_shards: int, ns_total: int):
             }
             better = (cand["t"] < best["t"]) | (
                 (cand["t"] == best["t"]) & (cand["gid"] < best["gid"]))
+            # An all-miss hop reports t = BIG with a *real* primitive id;
+            # never let it displace the guaranteed-miss sentinel init (the
+            # post-loop recompute would otherwise have to re-prove the miss).
+            better &= cand["t"] < BIG
             best = {
                 k: jnp.where(better[:, None] if best[k].ndim == 2
                              else better, cand[k], best[k])

@@ -72,6 +72,10 @@ def read_ppm(path):
             tokens.extend(line.split("#", 1)[0].split())
         assert tokens[0] == "P3", "not a P3 PPM"
         nx, ny, maxval = int(tokens[1]), int(tokens[2]), int(tokens[3])
+        if len(tokens) < 4 + 3 * nx * ny:
+            raise ValueError(
+                f"truncated P3 PPM: {len(tokens) - 4} samples for "
+                f"{nx}x{ny} ({3 * nx * ny} expected)")
         vals = np.array(tokens[4:4 + 3 * nx * ny], dtype=np.int64)
         img = vals.reshape(ny, nx, 3)
     elif magic == b"P6":
@@ -90,6 +94,9 @@ def read_ppm(path):
             pos = end
         pos += 1  # single whitespace after maxval
         nx, ny, maxval = fields
+        if maxval > 255:
+            # 2-bytes-per-sample P6; rejecting beats silently misparsing.
+            raise ValueError(f"P6 maxval {maxval} > 255 (16-bit) unsupported")
         img = np.frombuffer(data, np.uint8, 3 * nx * ny, pos).reshape(
             ny, nx, 3).astype(np.int64)
     else:
