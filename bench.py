@@ -80,13 +80,15 @@ def main():
             return rad, seg
     elif mode == "grad":
         # Differentiable-pass throughput [BASELINE.json:11]: value+grad of
-        # an MSE pixel loss w.r.t. the full DIFF_FIELDS parameter set
-        # through the scan-form wavefront integrator (reverse mode).
-        # Paths here are *differentiated* paths; expect ~2 orders below
-        # the forward megakernel (50-deep scan + stored residuals).
+        # an MSE pixel loss w.r.t. the full DIFF_FIELDS parameter set via
+        # the record->replay path (diff/replay.py): the intersector runs
+        # once outside the AD graph (early-exit while_loop), the replay's
+        # O(R) bounce math is differentiated with remat.  BENCH_GRAD_METHOD
+        # =scan selects round 2's direct reverse-mode scan for comparison.
         from first_raytracer_tpu.diff.grad import (render_loss_and_grads,
                                                    split_params)
         total = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 16))
+        method = os.environ.get("BENCH_GRAD_METHOD", "replay")
         ids = jnp.arange(total, dtype=jnp.int32)
         params, _ = split_params(scene)
         target = jnp.zeros((total, 3), jnp.float32)
@@ -94,7 +96,8 @@ def main():
         def run():
             return render_loss_and_grads(params, scene, cam, cfg, key,
                                          ids, target, accel,
-                                         intersect_fn=intersect_fn)
+                                         intersect_fn=intersect_fn,
+                                         method=method)
     elif mode == "regenerative":
         def run():
             return render_rays_regenerative(
@@ -142,27 +145,33 @@ def main():
     mpaths = total / best / 1e6
     mrays = segments / best / 1e6
 
-    prev = None
+    # vs_baseline is only meaningful against a like-for-like history entry:
+    # the headline config compares to the best earlier headline run; other
+    # modes (grad/wavefront/...) compare to their own per-mode key so a
+    # grad-pass number never reads as "0.004x of the megakernel".
+    headline = mode == "mega" and isect == "pallas"
+    hist_key = "best_mpaths_s" if headline else f"best_mpaths_s_{mode}_{isect}"
+    hist = {}
     try:
         with open(HISTORY) as f:
-            prev = json.load(f).get("best_mpaths_s")
+            hist = json.load(f)
     except (OSError, json.JSONDecodeError):
         pass
+    prev = hist.get(hist_key)
     vs = (mpaths / prev) if prev else 1.0
-    # Only the headline config (megakernel + pallas on the full scene)
-    # updates the round-over-round history; alternate modes (grad,
-    # wavefront, ...) report against it without polluting it.
-    if mode == "mega" and isect == "pallas":
-        try:
-            with open(HISTORY, "w") as f:
-                json.dump({"best_mpaths_s": max(mpaths, prev or 0.0),
-                           "last_mpaths_s": mpaths,
-                           "last_mrays_s": mrays,
-                           "seconds": best,
-                           "mode": mode, "intersect": isect,
-                           "device": str(jax.devices()[0])}, f)
-        except OSError:
-            pass
+    # Every mode records its own best under a per-mode key; only the
+    # headline config (megakernel + pallas on the full scene) additionally
+    # updates the round-over-round summary fields.
+    hist[hist_key] = max(mpaths, prev or 0.0)
+    if headline:
+        hist.update(last_mpaths_s=mpaths, last_mrays_s=mrays, seconds=best,
+                    mode=mode, intersect=isect,
+                    device=str(jax.devices()[0]))
+    try:
+        with open(HISTORY, "w") as f:
+            json.dump(hist, f)
+    except OSError:
+        pass
 
     print(json.dumps({
         "metric": "Mpaths/s final-scene 1200x800@10spp",

@@ -5,8 +5,11 @@ north-star's differentiable pass [BASELINE.json:5, :11]: pixel-radiance
 gradients w.r.t. material albedo/fuzz/IOR and sphere centers/radii via
 reparameterized sampling — the counter RNG holds every uniform fixed, so the
 rendered radiance is a (piecewise) smooth function of the scene parameters
-and plain ``jax.grad`` through the scan-form wavefront loop
-(``RenderConfig(differentiable=True)``) is the whole implementation.
+and ``jax.grad`` differentiates it.  Two equivalent implementations:
+``method="replay"`` (default) records the primitive tape outside the AD
+graph and differentiates the cheap O(R) replay (diff/replay.py — the fast
+path, ~2 orders over direct); ``method="scan"`` is direct reverse mode
+through the scan-form wavefront loop (the equivalence oracle).
 
 Scope (SURVEY.md §7 step 6): gradients flow through the hit equation
 (recompute-from-primitive-id), scatter directions, Schlick/texture/
@@ -54,30 +57,47 @@ def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
 
 
 def ray_radiance(params, scene, camera, cfg: RenderConfig, key, ray_ids,
-                 accel=None, intersect_fn: Optional[Callable] = None):
-    """(R, 3) radiance as a differentiable function of ``params``."""
+                 accel=None, intersect_fn: Optional[Callable] = None,
+                 method: str = "replay"):
+    """(R, 3) radiance as a differentiable function of ``params``.
+
+    ``method="replay"`` (default, fast): record the primitive tape with the
+    requested intersector outside the AD graph, then differentiate the O(R)
+    tape replay (diff/replay.py) — bit-identical values and gradients to
+    ``method="scan"`` (round 2's direct reverse-mode through the monolithic
+    wavefront scan, kept as the equivalence oracle; tests/test_replay.py).
+    """
     scene = merge_params(scene, params)
     cam_u = rng.camera_uniforms(key, ray_ids)
     o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
+    if method == "replay":
+        from .replay import record_paths, trace_rays_replay
+        sg = jax.lax.stop_gradient
+        tape = record_paths(sg(scene), o, d, ray_ids, key, cfg,
+                            accel=accel, intersect_fn=intersect_fn)
+        return trace_rays_replay(scene, o, d, ray_ids, key, cfg, tape)
+    if method != "scan":
+        raise ValueError(f"unknown method {method!r}")
     return trace_rays(scene, o, d, ray_ids, key, _diff_cfg(cfg),
                       accel=accel, intersect_fn=intersect_fn)
 
 
 def render_loss(params, scene, camera, cfg, key, ray_ids, target,
-                accel=None, intersect_fn=None):
+                accel=None, intersect_fn=None, method: str = "replay"):
     """Mean squared error between rendered per-ray radiance and ``target``."""
     rad = ray_radiance(params, scene, camera, cfg, key, ray_ids, accel,
-                       intersect_fn)
+                       intersect_fn, method=method)
     return jnp.mean((rad - target) ** 2)
 
 
-@partial(jax.jit, static_argnames=("cfg", "intersect_fn"))
+@partial(jax.jit, static_argnames=("cfg", "intersect_fn", "method"))
 def render_loss_and_grads(params, scene, camera, cfg, key, ray_ids, target,
-                          accel=None, intersect_fn=None):
+                          accel=None, intersect_fn=None,
+                          method: str = "replay"):
     """(loss, grads-dict) — the driver's gradient gate [BASELINE.json:2]."""
     return jax.value_and_grad(render_loss)(
         params, scene, camera, cfg, key, ray_ids, target,
-        accel=accel, intersect_fn=intersect_fn)
+        accel=accel, intersect_fn=intersect_fn, method=method)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn", "lr"))
