@@ -22,12 +22,15 @@ the reference's hollow-glass negative-radius trick [E: main.cpp ch.13 scene].
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.vecmath import dot, point_at
 
 __all__ = ["sphere_hit_all", "sphere_hit_one", "sphere_normal"]
 
-BIG = jnp.float32(1e30)
+# np (not jnp) scalar: module import must not initialize the XLA
+# backend (jax.distributed.initialize comes first on multi-host).
+BIG = np.float32(1e30)
 
 
 def sphere_hit_all(origin, direction, center, radius, t_min, t_max):

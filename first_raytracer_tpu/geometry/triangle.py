@@ -12,13 +12,16 @@ winding defines the outward side, consistent between oracle and TPU path.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.vecmath import cross, dot, normalize
 
 __all__ = ["triangle_hit_all", "triangle_hit_one", "triangle_normal"]
 
-BIG = jnp.float32(1e30)
-_DET_EPS = jnp.float32(1e-9)
+# np (not jnp) scalars: module import must not initialize the XLA
+# backend (jax.distributed.initialize comes first on multi-host).
+BIG = np.float32(1e30)
+_DET_EPS = np.float32(1e-9)
 
 
 def _moller_trumbore(origin, direction, v0, v1, v2, t_min, t_max):

@@ -42,7 +42,8 @@ from ..render.camera import generate_rays
 from ..render.integrator import RenderConfig, trace_rays
 from .mesh import SPP_AXIS, TILE_AXIS
 
-__all__ = ["render_image_sharded", "render_image_auto", "ray_id_grid"]
+__all__ = ["render_image_sharded", "render_image_auto",
+           "render_image_distributed", "ray_id_grid"]
 
 
 def ray_id_grid(cfg: RenderConfig):
@@ -97,6 +98,39 @@ def render_image_sharded(scene, camera, cfg: RenderConfig, mesh,
     ids = ray_id_grid(cfg)
     img = _render_sharded_jit(scene, camera, cfg, mesh, key, ids, accel,
                               intersect_fn)
+    return img.reshape(cfg.ny, cfg.nx, 3)[::-1]
+
+
+def render_image_distributed(scene, camera, cfg: RenderConfig, mesh,
+                             seed: int = 0, accel=None,
+                             intersect_fn: Optional[Callable] = None):
+    """Multi-process-safe sharded render (SURVEY.md §5.8 multi-host path).
+
+    Same program as ``render_image_sharded`` over a process-spanning mesh
+    (after ``mesh.initialize_distributed``); the only difference is image
+    assembly: the sharded output is not fully addressable on any single
+    process, so every process all-gathers the pixel shards (one DCN/ICI
+    ``all_gather``, SURVEY.md §2.2 comm row) and returns the complete
+    host-local (ny, nx, 3) ndarray.  Also valid single-process (the gather
+    degenerates to a device_get).
+    """
+    import numpy as np
+
+    tile_shards = mesh.shape[TILE_AXIS]
+    spp_shards = mesh.shape[SPP_AXIS]
+    if cfg.num_pixels % tile_shards:
+        raise ValueError(f"{cfg.num_pixels} pixels not divisible by "
+                         f"{tile_shards} tile shards")
+    if cfg.spp % spp_shards:
+        raise ValueError(f"spp={cfg.spp} not divisible by {spp_shards}")
+    key = rng.base_key(seed)
+    ids = ray_id_grid(cfg)
+    img = _render_sharded_jit(scene, camera, cfg, mesh, key, ids, accel,
+                              intersect_fn)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        img = multihost_utils.process_allgather(img, tiled=True)
+    img = np.asarray(jax.device_get(img))
     return img.reshape(cfg.ny, cfg.nx, 3)[::-1]
 
 
