@@ -19,7 +19,17 @@ Methodology (one real chip exists on this machine — SURVEY.md §0):
 3. On a real multi-chip slice this same script runs unchanged and prints
    measured (not bounded) efficiency; `--devices N` then uses N real chips.
 
+4. *Measured sharding overhead* on the 8-virtual-device CPU mesh
+   (``--virtual``): virtual devices share the host's cores, so naive
+   weak-scaling wall-clock is meaningless — instead, for each mesh size N
+   the SAME total workload (rays_per_device x N) is timed unsharded on one
+   device vs sharded over the N-device mesh.  The ratio isolates exactly
+   what sharding adds (partitioning + psum + gather) with compute held
+   constant; efficiency = t_single / t_sharded.  This is the measured
+   1->2->4->8 table recorded in BASELINE.md.
+
 Usage:  python tools/scaling_bench.py [--rays-per-device 262144]
+        python tools/scaling_bench.py --virtual   # CPU-mesh overhead table
 """
 import argparse
 import json
@@ -29,8 +39,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--virtual" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
+
 import jax
 import jax.numpy as jnp
+
+if "--virtual" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from first_raytracer_tpu.utils.cache import enable_persistent_cache  # noqa: E402
 
@@ -42,12 +62,73 @@ from first_raytracer_tpu.render.api import render_ray_batch
 from first_raytracer_tpu.scene.builders import random_scene
 
 
+def _timeit(fn, repeats=3):
+    jax.block_until_ready(fn())
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def virtual_table(rays_per_device: int):
+    """Measured sharding-overhead table on the 8-virtual-device CPU mesh."""
+    from first_raytracer_tpu.parallel.mesh import make_render_mesh
+    from first_raytracer_tpu.parallel.shard import render_image_sharded
+    from first_raytracer_tpu.render.integrator import RenderConfig
+    from first_raytracer_tpu.scene.builders import three_spheres
+
+    scene, cam, _ = three_spheres()
+    rows = []
+    for n in (1, 2, 4, 8):
+        # Same TOTAL work for both timings: rays_per_device * n.
+        spp = 2
+        npix = rays_per_device * n // spp
+        nx = 128
+        cfg = RenderConfig(nx=nx, ny=npix // nx, spp=spp)
+        mesh_n = make_render_mesh(num_tile_shards=n, num_spp_shards=1,
+                                  devices=jax.devices()[:n])
+        mesh_1 = make_render_mesh(num_tile_shards=1, num_spp_shards=1,
+                                  devices=jax.devices()[:1])
+        t_sharded = _timeit(
+            lambda: render_image_sharded(scene, cam, cfg, mesh_n))
+        t_single = _timeit(
+            lambda: render_image_sharded(scene, cam, cfg, mesh_1))
+        rows.append({
+            "mesh_devices": n,
+            "total_rays": cfg.num_rays,
+            "seconds_single_device_same_work": round(t_single, 4),
+            "seconds_sharded": round(t_sharded, 4),
+            "sharding_efficiency": round(t_single / t_sharded, 4),
+        })
+        print(json.dumps(rows[-1]), flush=True)
+    return rows
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays-per-device", type=int, default=1 << 18)
     ap.add_argument("--devices", type=int, default=0,
                     help="real devices to use (default: all)")
+    ap.add_argument("--virtual", action="store_true",
+                    help="measured sharding-overhead table on the CPU mesh")
+    ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
+
+    if args.virtual:
+        rows = virtual_table(args.rays_per_device)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"method": "same-total-work overhead isolation "
+                                     "(virtual devices share host cores; "
+                                     "efficiency > 1 means the sharded "
+                                     "program additionally parallelized "
+                                     "across host threads — the claim "
+                                     "proven is 'sharding adds no "
+                                     "overhead', i.e. efficiency >= ~1)",
+                           "rows": rows}, f, indent=1)
+        return
 
     devices = jax.devices()[:args.devices or None]
     scene, cam, cfg = random_scene()
