@@ -16,7 +16,7 @@ from ..render.integrator import RenderConfig
 from .soa import SceneBuilder
 
 __all__ = ["three_spheres", "random_scene", "triangle_scene",
-           "camera_showcase", "PRESETS", "build_preset"]
+           "camera_showcase", "sphere_field", "PRESETS", "build_preset"]
 
 
 def three_spheres(nx=200, ny=100, spp=100):
@@ -135,11 +135,54 @@ def camera_showcase(nx=200, ny=100, spp=100):
     return b.build(), cam, RenderConfig(nx=nx, ny=ny, spp=spp)
 
 
+def sphere_field(n=20000, nx=800, ny=450, spp=4, seed=11):
+    """Large-scene stress workload: an n-sphere jittered grid field.
+
+    The scale regime where an acceleration structure earns its keep
+    (SURVEY.md §3.4; the reference's bvh_node exists for exactly this) —
+    random_scene's ~500 primitives never do.  Same material roulette and
+    camera family as random_scene, a denser and wider grid: side x side
+    small spheres (side = ceil(sqrt(n))), three feature spheres, ground.
+    """
+    rng_ = np.random.RandomState(seed)
+    b = SceneBuilder()
+    b.sphere((0.0, -1000.0, 0.0), 1000.0, b.lambertian((0.5, 0.5, 0.5)))
+    side = int(np.ceil(np.sqrt(max(n, 1))))
+    pitch = 22.0 / 22.0  # keep random_scene's unit pitch; field just widens
+    made = 0
+    for a in range(-side // 2, side - side // 2):
+        for bb in range(-side // 2, side - side // 2):
+            if made >= n:
+                break
+            choose = rng_.rand()
+            center = np.array([pitch * a + 0.9 * rng_.rand(), 0.2,
+                               pitch * bb + 0.9 * rng_.rand()])
+            if choose < 0.8:
+                mat = b.lambertian(rng_.rand(3) * rng_.rand(3))
+            elif choose < 0.95:
+                mat = b.metal(0.5 * (1.0 + rng_.rand(3)),
+                              fuzz=0.5 * rng_.rand())
+            else:
+                mat = b.dielectric(1.5)
+            b.sphere(center, 0.2, mat)
+            made += 1
+    b.sphere((0.0, 1.0, 0.0), 1.0, b.dielectric(1.5))
+    b.sphere((-4.0, 1.0, 0.0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.sphere((4.0, 1.0, 0.0), 1.0, b.metal((0.7, 0.6, 0.5), fuzz=0.0))
+    # Pull the camera back/up so the field fills the frame.
+    span = pitch * side
+    cam = make_camera((1.3 * span / 2, span / 6, span / 3), (0, 0, 0),
+                      (0, 1, 0), 20.0, nx / ny, aperture=0.0,
+                      focus_dist=10.0)
+    return b.build(), cam, RenderConfig(nx=nx, ny=ny, spp=spp)
+
+
 PRESETS = {
     "three-spheres": three_spheres,
     "random-spheres": random_scene,
     "triangle-mesh": triangle_scene,
     "camera-effects": camera_showcase,
+    "sphere-field": sphere_field,
 }
 
 
