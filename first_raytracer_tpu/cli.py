@@ -42,7 +42,14 @@ def _build(args):
     scene, camera, cfg = build_preset(args.preset, **kwargs)
     if args.max_depth:
         cfg = dataclasses.replace(cfg, max_depth=args.max_depth)
-    accel = build_bvh(scene, max_leaf=4) if args.bvh else None
+    accel = None
+    if getattr(args, "clustered", False):
+        # Two-level device BVH (kernels/intersect_clustered.py): the
+        # accelerated path for large scenes (e.g. --preset sphere-field).
+        from .kernels.intersect_clustered import pack_scene_clustered
+        accel = pack_scene_clustered(scene)
+    elif args.bvh:
+        accel = build_bvh(scene, max_leaf=4)
     return scene, camera, cfg, accel
 
 
@@ -52,6 +59,13 @@ def _cmd_render(args):
     from .render.api import render_image
 
     scene, camera, cfg, accel = _build(args)
+    if getattr(args, "clustered", False) and args.mode == "mega":
+        # The megakernel carries its own dense in-VMEM sweep and ignores
+        # accel structures; the clustered intersector rides the wavefront
+        # integrator (and the mega packed selection caps out at 2^14
+        # primitives anyway — large scenes NEED this switch).
+        print("note: --clustered implies --mode wavefront")
+        args.mode = "wavefront"
     t0 = time.perf_counter()
     if args.checkpoint:
         on_batch = None
@@ -216,6 +230,9 @@ def main(argv=None):
         sp.add_argument("--max-depth", type=int, default=0)
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--bvh", action="store_true")
+        sp.add_argument("--clustered", action="store_true",
+                        help="use the two-level clustered Pallas "
+                             "intersector (fastest for large scenes)")
         if name == "render":
             sp.add_argument("--out", default="")
             sp.add_argument("--checkpoint", default="")

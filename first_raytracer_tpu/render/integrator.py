@@ -77,17 +77,28 @@ def sky_color(direction):
 
 
 def default_intersect(scene, accel, origin, direction, t_min):
-    """Dispatch: brute force without an accel, BVH walk with one.
+    """Dispatch on the accel type: brute force (None), clustered Pallas
+    kernel (ClusteredScenePack), dense Pallas sweep (PallasScenePack), or
+    the flat-BVH walk (FlatBVH).
 
-    The BVH traversal runs under ``stop_gradient`` — it only *finds* the
+    Accelerated paths run under ``stop_gradient`` — they only *find* the
     primitive; the integrator recomputes the differentiable hit record from
     the id (visibility/silhouette gradients are out of scope by design,
-    SURVEY.md §7 step 6) — and its while_loop must never see AD tracers.
+    SURVEY.md §7 step 6) — and their while_loops must never see AD tracers.
     """
     if accel is None:
         return intersect_brute(scene, origin, direction, t_min)
-    from ..accel.traverse import intersect_bvh
     sg = jax.lax.stop_gradient
+    from ..kernels.intersect_clustered import (ClusteredScenePack,
+                                               intersect_clustered)
+    if isinstance(accel, ClusteredScenePack):
+        return intersect_clustered(sg(scene), sg(accel), sg(origin),
+                                   sg(direction), t_min)
+    from ..kernels.intersect_pallas import PallasScenePack, intersect_pallas
+    if isinstance(accel, PallasScenePack):
+        return intersect_pallas(sg(scene), sg(accel), sg(origin),
+                                sg(direction), t_min)
+    from ..accel.traverse import intersect_bvh
     return intersect_bvh(sg(scene), sg(accel), sg(origin), sg(direction),
                          t_min)
 
