@@ -30,6 +30,7 @@ import numpy as np
 
 from first_raytracer_tpu.core import rng
 from first_raytracer_tpu.kernels.megakernel import render_image_mega
+from first_raytracer_tpu.oracle import native_oracle
 from first_raytracer_tpu.oracle.cpu_oracle import render_oracle
 from first_raytracer_tpu.render.api import render_image, render_ray_batch
 from first_raytracer_tpu.scene.builders import PRESETS
@@ -38,7 +39,11 @@ from first_raytracer_tpu.scene.builders import PRESETS
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-oracle", action="store_true")
-    ap.add_argument("--oracle-rays", type=int, default=64)
+    ap.add_argument("--oracle-rays", type=int, default=2048,
+                    help="per-preset ray subsample checked against the "
+                         "oracle; the C++ oracle (~100x NumPy) makes "
+                         "thousands cheap, and falls back to 64 NumPy "
+                         "rays if the .so is not built")
     args = ap.parse_args()
 
     failures = 0
@@ -67,14 +72,24 @@ def main():
         ok = (frac_bad < max(0.01, 0.3 / cfg.spp)
               and float(np.median(d)) < 1e-6 and float(d.mean()) < 2e-3)
         if not args.skip_oracle:
+            n_rays = args.oracle_rays
+            use_native = native_oracle.available()
+            if not use_native:
+                n_rays = min(n_rays, 64)  # NumPy oracle is ~100x slower
             r = np.random.RandomState(1)
-            ids = np.sort(r.choice(cfg.num_rays, size=args.oracle_rays,
+            ids = np.sort(r.choice(cfg.num_rays, size=n_rays,
                                    replace=False)).astype(np.int64)
-            o_ref = render_oracle(scene, cam, cfg, ray_ids=ids)
+            if use_native:
+                o_ref = native_oracle.render_oracle_native(
+                    scene, cam, cfg, ray_ids=ids)
+            else:
+                o_ref = render_oracle(scene, cam, cfg, ray_ids=ids)
             o_tpu = np.asarray(render_ray_batch(
                 scene, cam, cfg, rng.base_key(0),
                 jnp.asarray(ids, jnp.int32)))
             od = np.abs(o_ref - o_tpu).max(axis=1)
+            row["oracle_rays"] = n_rays
+            row["oracle_native"] = use_native
             row["oracle_rays_matching_1e4"] = float((od < 1e-4).mean())
             ok = ok and row["oracle_rays_matching_1e4"] > 0.95
         row["pass"] = bool(ok)
