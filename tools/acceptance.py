@@ -47,7 +47,14 @@ def main():
     args = ap.parse_args()
 
     failures = 0
-    for name, preset in PRESETS.items():
+    # The four canonical driver configs [BASELINE.json:7-10].  The
+    # sphere-field stress preset is deliberately excluded: its 20k spheres
+    # exceed the megakernel's 2^14 packed-selection budget by design — the
+    # clustered kernel owns that regime (tools/crossover_bench.py).
+    canonical = ("three-spheres", "random-spheres", "triangle-mesh",
+                 "camera-effects")
+    for name in canonical:
+        preset = PRESETS[name]
         scene, cam, cfg = preset()  # FULL canonical size
         img_mega = np.asarray(render_image_mega(scene, cam, cfg))  # compile
         t0 = time.perf_counter()
