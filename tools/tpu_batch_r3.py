@@ -179,9 +179,13 @@ def stage_headline():
     bench.main()
 
 
-STAGES = dict(clustered=stage_clustered, crossover=stage_crossover,
-              recbench=stage_recbench, gradbench=stage_gradbench,
-              acceptance=stage_acceptance, headline=stage_headline)
+# Driver-artifact stages first: under tunnel congestion a cold Pallas
+# compile can take tens of minutes, and acceptance/headline are the
+# artifacts a round cannot ship without (their kernels are cache-warm
+# from earlier rounds, so they are also the cheapest).
+STAGES = dict(acceptance=stage_acceptance, headline=stage_headline,
+              gradbench=stage_gradbench, recbench=stage_recbench,
+              clustered=stage_clustered, crossover=stage_crossover)
 
 
 def _run_stage(name):
