@@ -50,7 +50,12 @@ from first_raytracer_tpu.scene.builders import sphere_field
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "CROSSOVER_r3.json")
 
-SIZES = (500, 2_000, 5_000, 20_000, 50_000)
+# Three sizes span the regimes (dense wins / transition / clustered wins);
+# every additional size costs ~4 cold Pallas/XLA compiles, which under
+# tunnel congestion (tens of minutes each) is the real budget.
+SIZES = tuple(
+    int(s) for s in os.environ.get("CROSSOVER_SIZES",
+                                   "500,5000,20000").split(","))
 R = 1 << 17          # camera rays per timing pass
 REPEATS = 3
 PALLAS_DENSE_MAX = 2_048   # (Np, 512) f32 temporaries stop fitting VMEM
