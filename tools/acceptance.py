@@ -38,6 +38,9 @@ from first_raytracer_tpu.scene.builders import PRESETS
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="also write the per-preset rows to this JSON file "
+                         "(the per-round ACCEPTANCE_r*.json artifact)")
     ap.add_argument("--skip-oracle", action="store_true")
     ap.add_argument("--oracle-rays", type=int, default=2048,
                     help="per-preset ray subsample checked against the "
@@ -47,6 +50,7 @@ def main():
     args = ap.parse_args()
 
     failures = 0
+    rows = []
     # The four canonical driver configs [BASELINE.json:7-10].  The
     # sphere-field stress preset is deliberately excluded: its 20k spheres
     # exceed the megakernel's 2^14 packed-selection budget by design — the
@@ -101,7 +105,12 @@ def main():
             ok = ok and row["oracle_rays_matching_1e4"] > 0.95
         row["pass"] = bool(ok)
         failures += 0 if ok else 1
+        rows.append(row)
         print(json.dumps(row), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"device": str(jax.devices()[0]),
+                       "failures": failures, "rows": rows}, f, indent=1)
     return 1 if failures else 0
 
 

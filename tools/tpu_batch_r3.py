@@ -169,7 +169,8 @@ def stage_gradbench():
 
 def stage_acceptance():
     import tools.acceptance as acc
-    sys.argv = ["acceptance.py"]
+    sys.argv = ["acceptance.py", "--out",
+                os.path.join(_ROOT, "ACCEPTANCE_r3.json")]
     rc = acc.main()
     print(json.dumps(dict(stage="acceptance", rc=rc)), flush=True)
 
