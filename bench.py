@@ -19,6 +19,23 @@ The reference publishes no numbers and its mount is empty (BASELINE.md), so
 ``vs_baseline`` is the ratio against the best previously recorded value in
 BENCH_HISTORY.json (>1 means faster than any earlier round), 1.0 on first
 run.
+
+Result-integrity guards (added r4 after the round-3 incident where a PJRT
+tunnel transient returned from ``block_until_ready`` without a real device
+round-trip and recorded a physically impossible 153x "speedup"; VERDICT r3):
+
+- median of >=3 repeats instead of min-of-2 (an optimistic outlier can no
+  longer win);
+- repeats disagreeing by >3x fail the run (a hung/no-op execution is not a
+  measurement);
+- the implied sweep-FLOP rate (segments x padded-primitive sweep cost /
+  median time) must stay below a generous multiple of the chip's f32 VPU
+  peak — the r3 artifact implied ~5e16 FLOP/s on a ~2e12 FLOP/s unit;
+- the headline radiance checksum must match the committed golden
+  (bench_golden.json) to 1%, so a no-op execution cannot score.
+
+On any guard failure: one JSON line with an "error" key, exit 2, and the
+history file is left untouched.
 """
 import json
 import os
@@ -47,6 +64,53 @@ from first_raytracer_tpu.scene.builders import random_scene
 
 HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_HISTORY.json")
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "bench_golden.json")
+# Generous per-chip f32 op-rate ceiling for the plausibility guard: the
+# v5e VPU sustains ~1-2e12 f32 FLOP/s; anything implying >5e13 is a timing
+# artifact, not a render (the r3 incident implied ~8e16).
+MAX_PLAUSIBLE_FLOPS = 5e13
+MAX_REPEAT_SPREAD = 3.0
+
+
+def _fail(reason, **extra):
+    print(json.dumps(dict(error=reason, **extra)))
+    return 2
+
+
+def check_spread(times, max_spread=MAX_REPEAT_SPREAD):
+    """None if repeat timings agree to ``max_spread``x, else a reason."""
+    if max(times) / max(min(times), 1e-12) > max_spread:
+        return "repeat timings disagree by >%gx" % max_spread
+    return None
+
+
+def check_flops(segments, np_pad, seconds,
+                max_flops=MAX_PLAUSIBLE_FLOPS):
+    """None if the implied sweep-FLOP rate is physically possible.
+
+    A dense sweep costs ~10 f32 ops per (segment, padded primitive); the
+    implied rate must stay below a generous multiple of the VPU peak.
+    Culling intersectors do less work than this estimate, which only makes
+    the guard more lenient — it catches impossible timings, not
+    inefficiency.
+    """
+    if not segments:
+        return None
+    implied = segments * np_pad * 10.0 / max(seconds, 1e-12)
+    if implied > max_flops:
+        return ("implied FLOP rate %.3g/s is physically impossible"
+                % implied)
+    return None
+
+
+def check_checksum(checksum, golden, rtol=1e-2):
+    """None if the radiance checksum matches the golden to ``rtol``."""
+    rel = abs(checksum - golden) / max(abs(golden), 1e-9)
+    if not rel < rtol:
+        return ("radiance checksum %.6g mismatches golden %.6g "
+                "(rel %.3g)" % (checksum, golden, rel))
+    return None
 
 
 def main():
@@ -55,7 +119,7 @@ def main():
     isect = os.environ.get("BENCH_INTERSECT", "pallas")
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
-    repeats = int(os.environ.get("BENCH_REPEATS", 2))
+    repeats = max(3, int(os.environ.get("BENCH_REPEATS", 3)))
 
     if isect == "pallas":
         accel, intersect_fn = pack_scene_pallas(scene), intersect_pallas
@@ -65,6 +129,11 @@ def main():
         accel, intersect_fn = (pack_scene_clustered(scene),
                                intersect_clustered)
     elif isect == "bvh":
+        print("# NOTE: BENCH_INTERSECT=bvh selects the lockstep flat-BVH "
+              "walk — a DIAGNOSTICS-ONLY traversal-correctness oracle, "
+              "100-200x slower than the production intersectors "
+              "(CROSSOVER_r3.json); not a performance path.",
+              file=sys.stderr)
         accel, intersect_fn = build_bvh(scene, max_leaf=4), None
     else:
         accel, intersect_fn = None, None
@@ -99,29 +168,46 @@ def main():
         target = jnp.zeros((total, 3), jnp.float32)
 
         if method == "replay":
-            # Two-step fast path: compacted-pool tape record (selection,
-            # no AD) + payload-matmul replay of only the live tape rows.
-            # The trim depth is data-deterministic (fixed seed), so it is
-            # computed once outside the timed loop.
+            # Two-step fast path: tape record (selection, no AD) + payload-
+            # matmul replay of only the live tape rows.  The recorder is
+            # the in-kernel megakernel tracer (kernels/record_mega.py) by
+            # default — BENCH_GRAD_REC=pool selects round 3's compacted-
+            # pool XLA recorder for comparison.  The trim depth is
+            # data-deterministic (fixed seed), so it is computed once
+            # outside the timed loop.
             import functools
 
             from first_raytracer_tpu.diff.grad import (
                 render_loss_and_grads_tape)
             from first_raytracer_tpu.diff.replay import (live_trips,
                                                          record_paths_pool)
-            gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
+            rec_kind = os.environ.get("BENCH_GRAD_REC", "mega")
+            if rec_kind == "mega":
+                from first_raytracer_tpu.kernels.record_mega import (
+                    pack_scene_mega as _pack_mega, record_paths_mega)
+                gpack = _pack_mega(scene)
 
-            @functools.partial(jax.jit, static_argnames=("cfg", "ps"))
-            def rec(scene, cam, cfg, key, ids, accel, ps):
-                return record_paths_pool(scene, cam, cfg, key, ids,
-                                         accel=accel,
-                                         intersect_fn=intersect_fn,
-                                         pool_size=ps)
+                def rec_tape():
+                    return record_paths_mega(gpack, cam, cfg, key,
+                                             num_rays=total)
+            else:
+                gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
 
-            trips = live_trips(rec(scene, cam, cfg, key, ids, accel, gpool))
+                @functools.partial(jax.jit,
+                                   static_argnames=("cfg", "ps"))
+                def rec(scene, cam, cfg, key, ids, accel, ps):
+                    return record_paths_pool(scene, cam, cfg, key, ids,
+                                             accel=accel,
+                                             intersect_fn=intersect_fn,
+                                             pool_size=ps)
+
+                def rec_tape():
+                    return rec(scene, cam, cfg, key, ids, accel, gpool)
+
+            trips = live_trips(rec_tape())
 
             def run():
-                tape = rec(scene, cam, cfg, key, ids, accel, gpool)
+                tape = rec_tape()
                 return render_loss_and_grads_tape(
                     params, scene, cam, cfg, key, ids, target, tape[:trips])
         else:
@@ -144,12 +230,43 @@ def main():
                                      intersect_fn) for b in blocks]
             return outs[-1]
 
-    jax.block_until_ready(run())  # compile + warm
-    best = float("inf")
+    warm = jax.block_until_ready(run())  # compile + warm
+    times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         jax.block_until_ready(run())
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    best = times[len(times) // 2]  # median: robust to optimistic outliers
+    # Guard: repeats that disagree wildly are not a measurement (a tunnel
+    # hiccup or a host stall, either way unusable).
+    err = check_spread(times)
+    if err:
+        return _fail(err, times=[round(t, 4) for t in times])
+
+    # Guard: the headline radiance checksum must match the committed golden
+    # (loose 1% — covers kernel ulp drift, not a different image; a no-op
+    # or garbage execution cannot match).  First on-chip run records it.
+    if mode == "mega":
+        checksum = float(jnp.sum(warm[0]))
+        gold = {}
+        try:
+            with open(GOLDEN) as f:
+                gold = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            pass
+        gkey = "radiance_sum_mega_%dx%d_%dspp" % (cfg.nx, cfg.ny, cfg.spp)
+        if gkey in gold:
+            err = check_checksum(checksum, gold[gkey])
+            if err:
+                return _fail(err)
+        else:
+            gold[gkey] = checksum
+            try:
+                with open(GOLDEN, "w") as f:
+                    json.dump(gold, f, indent=1)
+            except OSError:
+                pass
 
     # True segment count: the megakernel reports it directly; the other
     # modes run one instrumented chunked pass (not timed).
@@ -176,6 +293,12 @@ def main():
 
     mpaths = total / best / 1e6
     mrays = segments / best / 1e6
+
+    # Guard: physical plausibility of the measured rate.
+    np_pad = max(-(-scene.num_primitives // 128) * 128, 128)
+    err = check_flops(segments, np_pad, best)
+    if err:
+        return _fail(err, segments=segments, seconds=round(best, 6))
 
     # vs_baseline is only meaningful against a like-for-like history entry:
     # the headline config compares to the best earlier headline run; other

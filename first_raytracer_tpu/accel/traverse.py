@@ -16,6 +16,16 @@ Traversal returns only ``(prim, t, hit)``; the integrator *recomputes* the
 differentiable hit record from the winning primitive id
 (render/integrator.py), so this walk needs no gradient rules at all
 (SURVEY.md §7 step 6).
+
+**DIAGNOSTICS ONLY — not a performance path.**  Measured on the real chip
+(CROSSOVER_r3.json): 0.14-0.31 Mrays/s at EVERY scene size — the lockstep
+gather-walk serializes on a vector machine and loses 100-200x to the dense
+Pallas sweep at ~500 prims and 30-70x to the clustered kernel at 20-50k.
+It is kept as the traversal-correctness oracle (bit-equal closest hit vs
+brute force, tests/test_bvh.py) and as the semantic anchor for the flat-BVH
+arrays the native builder emits; route production work through
+``kernels/intersect_pallas.py`` (dense, small scenes) or
+``kernels/intersect_clustered.py`` (large scenes).
 """
 from __future__ import annotations
 

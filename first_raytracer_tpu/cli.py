@@ -229,7 +229,11 @@ def main(argv=None):
         sp.add_argument("--spp", type=int, default=0)
         sp.add_argument("--max-depth", type=int, default=0)
         sp.add_argument("--seed", type=int, default=0)
-        sp.add_argument("--bvh", action="store_true")
+        sp.add_argument("--bvh", action="store_true",
+                        help="lockstep flat-BVH walk — DIAGNOSTICS ONLY: "
+                             "the traversal-correctness oracle, 100-200x "
+                             "slower than the default/clustered "
+                             "intersectors on TPU (CROSSOVER_r3.json)")
         sp.add_argument("--clustered", action="store_true",
                         help="use the two-level clustered Pallas "
                              "intersector (fastest for large scenes)")

@@ -70,3 +70,18 @@ def test_gate_is_calibrated():
     d = np.abs(img_bad - img).max(axis=-1)
     assert not (d.mean() < 1.5e-3 and (d < 5e-4).mean() > 0.97), (
         "statistical gate failed to detect a 5% albedo perturbation")
+
+
+def test_gate_worst_pixel_bound_is_calibrated():
+    """The max-pixel bound (3/spp + 1e-3) must also be falsifiable — a
+    strong localized error has to trip it, not just the mean/coverage
+    bounds (ADVICE r3).  Halving every albedo changes lit pixels by O(1),
+    far beyond the bound."""
+    spp = 16
+    scene, cam, cfg = random_scene(nx=24, ny=12, spp=spp)
+    img = np.asarray(render_image(scene, cam, cfg, seed=0))
+    bad = dataclasses.replace(scene, albedo=scene.albedo * 0.5)
+    img_bad = np.asarray(render_image(bad, cam, cfg, seed=0))
+    d = np.abs(img_bad - img).max(axis=-1)
+    assert d.max() >= 3.0 / spp + 1e-3, (
+        f"worst-pixel bound never trips (max {d.max():.3f}): vacuous gate")

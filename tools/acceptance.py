@@ -36,7 +36,7 @@ from first_raytracer_tpu.render.api import render_image, render_ray_batch
 from first_raytracer_tpu.scene.builders import PRESETS
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None,
                     help="also write the per-preset rows to this JSON file "
@@ -47,10 +47,20 @@ def main():
                          "oracle; the C++ oracle (~100x NumPy) makes "
                          "thousands cheap, and falls back to 64 NumPy "
                          "rays if the .so is not built")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     failures = 0
     rows = []
+
+    def write_out():
+        # Written after EVERY preset (not just at the end) so a mid-run
+        # failure still ships the rows already gathered (ADVICE r3).
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"device": str(jax.devices()[0]),
+                           "failures": failures,
+                           "complete": len(rows) == 4, "rows": rows}, f,
+                          indent=1)
     # The four canonical driver configs [BASELINE.json:7-10].  The
     # sphere-field stress preset is deliberately excluded: its 20k spheres
     # exceed the megakernel's 2^14 packed-selection budget by design — the
@@ -107,10 +117,7 @@ def main():
         failures += 0 if ok else 1
         rows.append(row)
         print(json.dumps(row), flush=True)
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump({"device": str(jax.devices()[0]),
-                       "failures": failures, "rows": rows}, f, indent=1)
+        write_out()
     return 1 if failures else 0
 
 

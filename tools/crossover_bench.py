@@ -47,15 +47,22 @@ from first_raytracer_tpu.render.camera import generate_rays
 from first_raytracer_tpu.render.integrator import intersect_brute
 from first_raytracer_tpu.scene.builders import sphere_field
 
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "CROSSOVER_r3.json")
+# Output name carries the round (CROSSOVER_OUT or CROSSOVER_ROUND env) so a
+# later round's run never silently overwrites an earlier artifact.
+_round = os.environ.get("CROSSOVER_ROUND", "4")
+OUT = os.environ.get(
+    "CROSSOVER_OUT",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 f"CROSSOVER_r{_round}.json"))
 
 # Three sizes span the regimes (dense wins / transition / clustered wins);
 # every additional size costs ~4 cold Pallas/XLA compiles, which under
-# tunnel congestion (tens of minutes each) is the real budget.
+# tunnel congestion (tens of minutes each) is the real budget.  Empty/
+# whitespace tokens (e.g. a trailing comma) are ignored.
 SIZES = tuple(
-    int(s) for s in os.environ.get("CROSSOVER_SIZES",
-                                   "500,5000,20000").split(","))
+    int(s.strip()) for s in os.environ.get("CROSSOVER_SIZES",
+                                           "500,5000,20000").split(",")
+    if s.strip())
 R = 1 << 17          # camera rays per timing pass
 REPEATS = 3
 PALLAS_DENSE_MAX = 2_048   # (Np, 512) f32 temporaries stop fitting VMEM

