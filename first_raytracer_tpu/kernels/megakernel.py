@@ -116,10 +116,17 @@ class MegaScenePack:
     sph_groups: tuple   # 7 ints
     tri_groups: tuple
     has_checker: bool
+    # Group-sort permutations (sorted index -> ORIGINAL scene index), i32,
+    # shapes (Ns,)/(Nt,).  The kernels select winners in sorted index
+    # space; the tape recorder (kernels/record_mega.py) maps its recorded
+    # ids back through these so tapes live in the scene's id space.
+    sph_order: jax.Array = None
+    tri_order: jax.Array = None
 
 
 jax.tree_util.register_dataclass(
-    MegaScenePack, data_fields=("spheres", "sph_mx", "tris"),
+    MegaScenePack,
+    data_fields=("spheres", "sph_mx", "tris", "sph_order", "tri_order"),
     meta_fields=("sphere_rows", "tri_rows", "sph_groups", "tri_groups",
                  "has_checker"))
 
@@ -169,6 +176,8 @@ def pack_scene_mega(scene) -> MegaScenePack:
 
     has_checker = bool((textype_all == 1).any())
 
+    sph_order_np = np.arange(ns, dtype=np.int32)
+    tri_order_np = np.arange(nt, dtype=np.int32)
     sph = np.zeros((_SPH_ROWS, ns_pad), np.float32)
     sph[0:3] = _BIG  # sentinel: never-hit center, radius 0
     # Column table for the expanded quadratic: b = o.d - d.C and
@@ -181,6 +190,7 @@ def pack_scene_mega(scene) -> MegaScenePack:
     sph_groups = (0,) * 7
     if ns:
         order, sph_groups = group_order(s.sphere_mat)
+        sph_order_np = np.asarray(order, np.int32)
         c = np.asarray(s.sphere_center, np.float32)[order]
         r = np.asarray(s.sphere_radius, np.float32)[order]
         sph[0:3, :ns] = c.T
@@ -210,6 +220,7 @@ def pack_scene_mega(scene) -> MegaScenePack:
     tri_groups = (0,) * 7
     if nt:
         order, tri_groups = group_order(s.tri_mat)
+        tri_order_np = np.asarray(order, np.int32)
         v0 = np.asarray(s.tri_v0, np.float32)[order]
         e1 = np.asarray(s.tri_v1, np.float32)[order] - v0
         e2 = np.asarray(s.tri_v2, np.float32)[order] - v0
@@ -225,7 +236,9 @@ def pack_scene_mega(scene) -> MegaScenePack:
     return MegaScenePack(spheres=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
                          tris=jnp.asarray(tri), sphere_rows=ns, tri_rows=nt,
                          sph_groups=sph_groups, tri_groups=tri_groups,
-                         has_checker=has_checker)
+                         has_checker=has_checker,
+                         sph_order=jnp.asarray(sph_order_np),
+                         tri_order=jnp.asarray(tri_order_np))
 
 
 def _threefry2x32(k0, k1, c0, c1):
