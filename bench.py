@@ -114,7 +114,17 @@ def check_checksum(checksum, golden, rtol=1e-2):
 
 
 def main():
-    scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
+    # Headline workload unless BENCH_SCENE overrides (fieldN -> the
+    # N-sphere large-scene stress preset, e.g. BENCH_SCENE=field20000
+    # BENCH_MODE=megacluster for the clustered-megakernel path).
+    scene_sel = os.environ.get("BENCH_SCENE", "")
+    if scene_sel.startswith("field"):
+        from first_raytracer_tpu.scene.builders import sphere_field
+        scene, cam, cfg = sphere_field(n=int(scene_sel[5:] or 20000))
+        metric_name = f"Mpaths/s {scene_sel} {cfg.nx}x{cfg.ny}@{cfg.spp}spp"
+    else:
+        scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
+        metric_name = "Mpaths/s final-scene 1200x800@10spp"
     mode = os.environ.get("BENCH_MODE", "mega")
     isect = os.environ.get("BENCH_INTERSECT", "pallas")
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
@@ -151,6 +161,17 @@ def main():
 
         def run():
             rad, seg = render_pixels_mega(mpack, cam, cfg, key)
+            return rad, seg
+    elif mode == "megacluster":
+        # Clustered megakernel (kernels/megakernel_clustered.py): the
+        # large-scene fast path — persistent lanes + gated per-cluster
+        # sweeps, clusters sorted front-to-back from the camera.
+        from first_raytracer_tpu.kernels.megakernel_clustered import (
+            pack_scene_mega_clustered, render_pixels_mega_clustered)
+        cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+
+        def run():
+            rad, seg = render_pixels_mega_clustered(cpak, cam, cfg, key)
             return rad, seg
     elif mode == "grad":
         # Differentiable-pass throughput [BASELINE.json:11]: value+grad of
@@ -247,7 +268,7 @@ def main():
     # Guard: the headline radiance checksum must match the committed golden
     # (loose 1% — covers kernel ulp drift, not a different image; a no-op
     # or garbage execution cannot match).  First on-chip run records it.
-    if mode == "mega":
+    if mode in ("mega", "megacluster"):
         checksum = float(jnp.sum(warm[0]))
         gold = {}
         try:
@@ -281,7 +302,7 @@ def main():
         return jnp.sum(segs.astype(jnp.int64))
 
     chunk = min(chunk, total)
-    if mode == "mega":
+    if mode in ("mega", "megacluster"):
         import numpy as _np
         segments = int(_np.asarray(run()[1], _np.int64).sum())
     else:
@@ -304,8 +325,10 @@ def main():
     # the headline config compares to the best earlier headline run; other
     # modes (grad/wavefront/...) compare to their own per-mode key so a
     # grad-pass number never reads as "0.004x of the megakernel".
-    headline = mode == "mega" and isect == "pallas"
-    hist_key = "best_mpaths_s" if headline else f"best_mpaths_s_{mode}_{isect}"
+    headline = mode == "mega" and isect == "pallas" and not scene_sel
+    hist_key = ("best_mpaths_s" if headline
+                else "best_mpaths_s_" + "_".join(
+                    filter(None, (scene_sel, mode, isect))))
     hist = {}
     try:
         with open(HISTORY) as f:
@@ -329,7 +352,7 @@ def main():
         pass
 
     print(json.dumps({
-        "metric": "Mpaths/s final-scene 1200x800@10spp",
+        "metric": metric_name,
         "value": round(mpaths, 3),
         "unit": "Mpaths/s",
         "vs_baseline": round(vs, 3),

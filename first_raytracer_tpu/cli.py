@@ -60,12 +60,13 @@ def _cmd_render(args):
 
     scene, camera, cfg, accel = _build(args)
     if getattr(args, "clustered", False) and args.mode == "mega":
-        # The megakernel carries its own dense in-VMEM sweep and ignores
-        # accel structures; the clustered intersector rides the wavefront
-        # integrator (and the mega packed selection caps out at 2^14
-        # primitives anyway — large scenes NEED this switch).
-        print("note: --clustered implies --mode wavefront")
-        args.mode = "wavefront"
+        # The dense megakernel carries its own in-VMEM sweep and ignores
+        # accel structures (and its packed selection caps out at 2^14
+        # primitives); large scenes route to the clustered megakernel,
+        # which gates per-cluster sweeps inside the same persistent-lane
+        # loop.
+        print("note: --clustered implies --mode mega-clustered")
+        args.mode = "mega-clustered"
     t0 = time.perf_counter()
     if args.checkpoint:
         on_batch = None
@@ -86,6 +87,11 @@ def _cmd_render(args):
     elif args.mode == "mega":
         from .kernels.megakernel import render_image_mega
         img = render_image_mega(scene, camera, cfg, seed=args.seed)
+    elif args.mode == "mega-clustered":
+        from .kernels.megakernel_clustered import (
+            render_image_mega_clustered)
+        img = render_image_mega_clustered(scene, camera, cfg,
+                                          seed=args.seed)
     elif args.mode == "ring":
         # Ring-sharded scene (parallel/ring.py): geometry partitioned over
         # all devices, shards ppermute'd each bounce.  Degenerate-but-valid
@@ -246,10 +252,13 @@ def main(argv=None):
                                  "preview PNG after every batch")
             sp.add_argument(
                 "--mode", default="mega",
-                choices=("mega", "wavefront", "regenerative", "ring"),
-                help="mega: persistent-lane Pallas megakernel (fastest); "
-                     "wavefront/regenerative: XLA-orchestrated loops "
-                     "(support --bvh and gradients); ring: scene "
+                choices=("mega", "mega-clustered", "wavefront",
+                         "regenerative", "ring"),
+                help="mega: persistent-lane Pallas megakernel (fastest "
+                     "at <=2^14 primitives); mega-clustered: the same "
+                     "kernel with gated per-cluster sweeps (large "
+                     "scenes); wavefront/regenerative: XLA-orchestrated "
+                     "loops (support --bvh and gradients); ring: scene "
                      "geometry sharded over all devices, ppermute ring")
         if name == "bench":
             sp.add_argument("--rays", type=int, default=0)

@@ -1,0 +1,780 @@
+"""Pallas TPU clustered megakernel: the whole tracer, culling large scenes.
+
+The dense megakernel (kernels/megakernel.py) sweeps EVERY padded sphere per
+bounce iteration — at ~500 primitives that is the fastest thing this
+machine can do (ROADMAP.md cost model), but the sweep scales linearly with
+scene size: at 20k primitives it would be ~40x slower, and the only large-
+scene path was the ~13x-slower XLA wavefront loop over the clustered
+intersector (VERDICT r3 item 4).  This kernel keeps the megakernel's
+persistent-lane design and adds the two-level culling of
+``intersect_clustered`` *inside* the bounce loop:
+
+- **Clusters**: the host SAH-partitions the spheres into contiguous runs
+  of <=128 slots (one lane register) with AABBs, optionally sorted
+  front-to-back from the camera so each ray's shrinking best-t kills far
+  clusters early.  Sphere columns are laid out cluster-major, so a
+  cluster's geometry is a static 128-column slice of the resident VMEM
+  tables — Mosaic-friendly, no dynamic leading-dim slicing.
+- **Tile-granular gates**: per bounce iteration each cluster's box is
+  slab-tested against the whole 512-lane ray tile, bounded above by each
+  lane's current best t; ``pl.when(any lane passes)`` decides whether the
+  cluster's 128 slots are swept at all.  Divergence is tile-granular —
+  the only granularity TPU control flow is free at — so lanes must be
+  COHERENT: unlike the dense megakernel's image-wide grid stride, a tile
+  here owns a CONTIGUOUS block of ``k_pix * tile`` pixels (lane ``l`` of
+  tile ``g`` owns pixels ``g*K*T + j*T + l``).  That trades some lane
+  occupancy (long paths cluster spatially) for culling that actually
+  fires; the dense kernel made the opposite trade because it sweeps
+  everything anyway.
+- **Exact selection**: per swept cluster the winner is the exact
+  (min t, min slot) — no packed-mantissa truncation — folded across
+  clusters; the winner's 16 payload rows (geometry + material, material
+  *type* carried as table rows since SAH order destroys the dense pack's
+  group-sort) are extracted with a (16,128)x(128,T) one-hot MXU matmul
+  under the same ``pl.when``, so extraction cost also scales with
+  clusters actually hit.
+- Everything else — in-kernel Threefry RNG, camera rays, branch-free
+  3-way scatter, sky, pixel-boundary flush, in-lane sample regeneration —
+  is the megakernel's, same RNG stream, same radiance semantics.
+
+Triangles keep the dense megakernel treatment (group-sorted table, packed
+selection + winner-t replay): every large-scene workload here is sphere-
+heavy and the dense tri sweep is already exact about its budget.
+
+Reference lineage: this is ``bvh_node::hit`` [E: bvh.h] (SURVEY.md §3.3)
+re-architected for a vector machine — the per-ray pointer chase becomes
+per-tile cluster gates over a flat SoA, the reference's shrinking
+``closest_so_far`` becomes the per-lane best-t bound on the slab test.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .intersect_clustered import _cluster_type
+from .megakernel import (_BIG, _TRI_ROWS, TILE, _bits_to_unit, _cam_smem,
+                         _cbrt, _recip, _threefry2x32, _unit3)
+
+__all__ = ["pack_scene_mega_clustered", "MegaClusteredPack",
+           "render_pixels_mega_clustered", "render_image_mega_clustered"]
+
+_LANE = 128           # cluster slot capacity
+_SPH_ROWS = 16
+# Sphere payload rows (cluster-major columns):
+#   0-2 center, 3 radius, 4 param (fuzz|ref_idx), 5-7 albedo,
+#   8-10 albedo2, 11 tex_scale, 12 c0 = |C|^2 - r^2 (finite sentinel),
+#   13 mat type (0/1/2), 14 tex type (0/1), 15 1/radius (0 sentinel).
+PIX_PER_LANE = 32     # contiguous-tile pixels per lane (smaller than the
+                      # dense kernel's 96: a tile's pixel band is K*T wide,
+                      # and culling wants narrow bands more than the last
+                      # few occupancy points)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+@dataclasses.dataclass(frozen=True)
+class MegaClusteredPack:
+    """Host-packed clustered scene for the clustered megakernel."""
+
+    sph: jax.Array       # (16, KC*128) f32 payload, cluster-major columns
+    sph_mx: jax.Array    # (KC*128, 8) f32 column table: cx cy cz c0
+    boxes: jax.Array     # (KC, 8) f32 SMEM: mnx mny mnz mxx mxy mxz pad
+    tris: jax.Array      # (24, Nt_pad) f32 — dense megakernel layout
+    sphere_rows: int     # true Ns
+    tri_rows: int
+    clusters: int        # KC (true, unpadded — table is exactly KC*128)
+    tri_groups: tuple
+    has_checker: bool
+
+
+jax.tree_util.register_dataclass(
+    MegaClusteredPack,
+    data_fields=("sph", "sph_mx", "boxes", "tris"),
+    meta_fields=("sphere_rows", "tri_rows", "clusters", "tri_groups",
+                 "has_checker"))
+
+
+def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
+                              sort_from=None) -> MegaClusteredPack:
+    """SAH-cluster + repack (host, once per scene).
+
+    ``sort_from`` (3-vector, typically the camera origin): clusters are
+    ordered by box-center distance so the in-kernel fold visits near
+    clusters first and the best-t bound prunes far ones — the flat-array
+    analog of the reference BVH's near-child-first descent.
+    """
+    from ..geometry.aabb import sphere_aabb_np
+
+    s = scene.as_numpy() if hasattr(scene, "as_numpy") else scene
+    ns, nt = s.sphere_center.shape[0], s.tri_v0.shape[0]
+    if not 0 < max_leaf <= _LANE:
+        raise ValueError(f"max_leaf must be in (0, {_LANE}]")
+    mtype_all = np.asarray(s.mat_type, np.int64)
+    textype_all = np.asarray(s.tex_type, np.int64)
+    has_checker = bool((textype_all == 1).any())
+
+    def mat_rows(mat_ids):
+        m = np.asarray(mat_ids)
+        mt = mtype_all[m]
+        param = np.where(
+            mt == 1, np.asarray(s.fuzz, np.float32)[m],
+            np.where(mt == 2, np.asarray(s.ref_idx, np.float32)[m],
+                     np.float32(1.0)))
+        return np.stack([
+            param.astype(np.float32),
+            *(np.asarray(s.albedo, np.float32)[m, k] for k in range(3)),
+            *(np.asarray(s.albedo2, np.float32)[m, k] for k in range(3)),
+            np.asarray(s.tex_scale, np.float32)[m],
+        ])  # (8, N)
+
+    # --- spheres: SAH clusters, cluster-major columns ---
+    kc = 1
+    sph = np.zeros((_SPH_ROWS, _LANE), np.float32)
+    sph[0:3] = _BIG
+    sph[12] = np.float32(_BIG)
+    mx = np.zeros((_LANE, 8), np.float32)
+    mx[:, 0:3] = _BIG
+    mx[:, 3] = np.float32(np.inf)
+    boxes_np = np.zeros((1, 8), np.float32)
+    boxes_np[:, 0:3] = _BIG
+    boxes_np[:, 3:6] = -_BIG
+    if ns:
+        bmin, bmax = sphere_aabb_np(s.sphere_center, s.sphere_radius)
+        boxes, slot_ids = _cluster_type(bmin, bmax, np.arange(ns), max_leaf)
+        if sort_from is not None:
+            centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
+            d2 = ((centers - np.asarray(sort_from, np.float32)) ** 2).sum(1)
+            order = np.argsort(d2, kind="stable")
+            boxes = boxes[order]
+            slot_ids = [slot_ids[k] for k in order]
+        kc = len(slot_ids)
+        cols = kc * _LANE
+        sph = np.zeros((_SPH_ROWS, cols), np.float32)
+        sph[0:3] = _BIG                      # sentinel slots: never hit
+        sph[12] = np.float32(_BIG)           # finite for the extraction
+        mx = np.zeros((cols, 8), np.float32)
+        mx[:, 0:3] = _BIG
+        mx[:, 3] = np.float32(np.inf)        # sweep sentinel: certain miss
+        boxes_np = np.asarray(boxes, np.float32)
+        c_all = np.asarray(s.sphere_center, np.float32)
+        r_all = np.asarray(s.sphere_radius, np.float32)
+        for k, gids in enumerate(slot_ids):
+            m = len(gids)
+            j0 = k * _LANE
+            c = c_all[gids]
+            r = r_all[gids]
+            sph[0:3, j0:j0 + m] = c.T
+            sph[3, j0:j0 + m] = r
+            sph[4:12, j0:j0 + m] = mat_rows(np.asarray(s.sphere_mat)[gids])
+            c64 = c.astype(np.float64)
+            c0 = ((c64 * c64).sum(1)
+                  - r.astype(np.float64) ** 2).astype(np.float32)
+            sph[12, j0:j0 + m] = c0
+            sph[13, j0:j0 + m] = mtype_all[
+                np.asarray(s.sphere_mat)[gids]].astype(np.float32)
+            sph[14, j0:j0 + m] = textype_all[
+                np.asarray(s.sphere_mat)[gids]].astype(np.float32)
+            sph[15, j0:j0 + m] = np.where(r != 0, 1.0 / np.where(r != 0, r,
+                                                                 1.0), 0.0)
+            mx[j0:j0 + m, 0:3] = c
+            mx[j0:j0 + m, 3] = c0
+
+    # --- triangles: dense megakernel layout (group-sorted) ---
+    tri = np.zeros((_TRI_ROWS, _LANE), np.float32)
+    tri_groups = (0,) * 7
+    if nt:
+        gkey = (mtype_all[np.asarray(s.tri_mat, np.int64)] * 2
+                + (textype_all[np.asarray(s.tri_mat, np.int64)] == 1))
+        order = np.argsort(gkey, kind="stable")
+        counts = np.bincount(gkey, minlength=6)
+        tri_groups = tuple(
+            int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
+        nt_pad = max(_round_up(nt, _LANE), _LANE)
+        tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
+        v0 = np.asarray(s.tri_v0, np.float32)[order]
+        e1 = np.asarray(s.tri_v1, np.float32)[order] - v0
+        e2 = np.asarray(s.tri_v2, np.float32)[order] - v0
+        n = np.cross(e1, e2)
+        nn = np.linalg.norm(n, axis=1, keepdims=True)
+        n = n / np.where(nn > 0, nn, 1.0)
+        tri[0:3, :nt] = v0.T
+        tri[3:6, :nt] = e1.T
+        tri[6:9, :nt] = e2.T
+        tri[9:12, :nt] = n.T
+        tri[12:20, :nt] = mat_rows(np.asarray(s.tri_mat)[order])
+    return MegaClusteredPack(
+        sph=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
+        boxes=jnp.asarray(boxes_np), tris=jnp.asarray(tri),
+        sphere_rows=ns, tri_rows=nt, clusters=kc, tri_groups=tri_groups,
+        has_checker=has_checker)
+
+
+def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
+                           mx_ref, tri_ref, rad_ref, seg_ref, it_ref,
+                           acc_ref, *,
+                           nx, ny, spp, max_depth, t_min, num_pixels,
+                           total_pixels, spp_total, ns, nt, kc, tile,
+                           k_pix, unroll, tri_groups, has_checker):
+    f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
+    T = tile
+    K = k_pix
+    S = K * spp
+    step = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(i32, (1, T), 1)   # tile-local
+    base = step * (K * T)                             # tile's pixel base
+    pix0 = pix0_ref[0, 0]
+    spp0 = pix0_ref[0, 1]
+    k0 = key_ref[0, 0]
+    k1 = key_ref[0, 1]
+
+    co = [cam_ref[0, k] for k in range(3)]
+    ll = [cam_ref[0, 3 + k] for k in range(3)]
+    hz = [cam_ref[0, 6 + k] for k in range(3)]
+    vt = [cam_ref[0, 9 + k] for k in range(3)]
+    cu = [cam_ref[0, 12 + k] for k in range(3)]
+    cv = [cam_ref[0, 15 + k] for k in range(3)]
+    lens_r = cam_ref[0, 18]
+
+    def _fdiv(a, b_inv, b):
+        return jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
+
+    def pixel_of(s):
+        """CONTIGUOUS-tile pixel for a lane's sample counter: the tile
+        owns pixels [base, base + K*T); lane l's j-th pixel is
+        base + j*T + l — coherent bands, the culling precondition."""
+        loc = base + lane + _fdiv(s, 1.0 / spp, spp) * T
+        pix = pix0 + loc
+        valid = (loc < num_pixels) & (pix < total_pixels)
+        return jnp.minimum(pix, total_pixels - 1), valid
+
+    def ray_id(s):
+        pixc, _ = pixel_of(s)
+        rem = s - _fdiv(s, 1.0 / spp, spp) * spp
+        return (pixc * spp_total + (spp0 + rem)).astype(u32)
+
+    def camera_ray(s, ju, jv, lu, lv):
+        pixc, _ = pixel_of(s)
+        j_i = _fdiv(pixc, 1.0 / nx, nx)
+        j_f = j_i.astype(f32)
+        i_f = (pixc - j_i * nx).astype(f32)
+        sf = (i_f + ju) * f32(1.0 / nx)
+        tf = (j_f + jv) * f32(1.0 / ny)
+        r = jnp.sqrt(lu)
+        th = f32(2.0 * math.pi) * lv
+        rd0 = lens_r * (r * jnp.cos(th))
+        rd1 = lens_r * (r * jnp.sin(th))
+        ox = co[0] + rd0 * cu[0] + rd1 * cv[0]
+        oy = co[1] + rd0 * cu[1] + rd1 * cv[1]
+        oz = co[2] + rd0 * cu[2] + rd1 * cv[2]
+        dx = ll[0] + sf * hz[0] + tf * vt[0] - ox
+        dy = ll[1] + sf * hz[1] + tf * vt[1] - oy
+        dz = ll[2] + sf * hz[2] + tf * vt[2] - oz
+        dx, dy, dz = _unit3(dx, dy, dz)
+        return ox, oy, oz, dx, dy, dz
+
+    def draws4(c0, dom2):
+        a0, a1 = _threefry2x32(k0, k1, c0, dom2)
+        b0, b1 = _threefry2x32(k0, k1, c0, dom2 + u32(1))
+        return (_bits_to_unit(a0), _bits_to_unit(a1),
+                _bits_to_unit(b0), _bits_to_unit(b1))
+
+    rad_ref[:, :] = jnp.zeros((3 * K, T), f32)
+
+    if nt:
+        nt_pad = tri_ref.shape[1]
+        idx_bits_t = max((nt_pad - 1).bit_length(), 1)
+        iota_t = jax.lax.broadcasted_iota(i32, (nt_pad, T), 0)
+    iota_c = jax.lax.broadcasted_iota(i32, (_LANE, T), 0)
+    iota_k = jax.lax.broadcasted_iota(i32, (K, T), 0)
+
+    def packed_min(tall, iota, idx_bits):
+        hi = jnp.int32(-(1 << idx_bits))
+        packed = (jax.lax.bitcast_convert_type(tall, i32) & hi) | iota
+        pm = jnp.min(packed, axis=0)[None, :]
+        return pm & jnp.int32((1 << idx_bits) - 1), pm
+
+    s0 = jnp.zeros((1, T), i32)
+    rid0 = ray_id(s0)
+    ju0, jv0, lu0, lv0 = draws4(rid0, jnp.zeros_like(rid0))
+    ox, oy, oz, dx, dy, dz = camera_ray(s0, ju0, jv0, lu0, lv0)
+
+    zero = jnp.zeros((1, T), f32)
+    one = jnp.ones((1, T), f32)
+    _, valid0 = pixel_of(s0)
+    samp0 = jnp.where(valid0, 0, S)
+
+    def body(carry):
+        (it, samp, depth, ox, oy, oz, dx, dy, dz,
+         tpx, tpy, tpz, rx, ry, rz, segs) = carry
+        active = samp < S
+        sampc = jnp.minimum(samp, S - 1)
+        rid = ray_id(sampc)
+        dom2 = (depth + 1).astype(u32) * u32(2)
+        u1, u2, u3, coin = draws4(rid, dom2)
+        nrid = ray_id(jnp.minimum(sampc + 1, S - 1))
+        ju, jv, lu, lv = draws4(nrid, jnp.zeros_like(nrid))
+
+        od = ox * dx + oy * dy + oz * dz
+        oo = ox * ox + oy * oy + oz * oz
+
+        # ---- spheres: gated per-cluster sweep + fold ----
+        # Inverse direction for the slab gates (components can be 0: the
+        # min/max form absorbs the resulting infs; an exact on-plane
+        # origin yields NaN -> gate false for that lane — measure-zero,
+        # same semantics as intersect_clustered).
+        t_s = jnp.full((1, T), f32(_BIG))
+        if ns:
+            ivx = _recip(dx)
+            ivy = _recip(dy)
+            ivz = _recip(dz)
+            # Fold state lives in VMEM scratch so each cluster's sweep can
+            # be a pl.when body (skipped compute when no lane gates in):
+            # row 0 = best t, rows 1..16 = the winner's 16 payload rows.
+            acc_ref[0:1, :] = jnp.full((1, T), f32(_BIG))
+            acc_ref[1:17, :] = jnp.zeros((16, T), f32)
+            for kcl in range(kc):
+                mnx, mny, mnz = (box_ref[kcl, 0], box_ref[kcl, 1],
+                                 box_ref[kcl, 2])
+                mxx, mxy, mxz = (box_ref[kcl, 3], box_ref[kcl, 4],
+                                 box_ref[kcl, 5])
+                t0x, t1x = (mnx - ox) * ivx, (mxx - ox) * ivx
+                t0y, t1y = (mny - oy) * ivy, (mxy - oy) * ivy
+                t0z, t1z = (mnz - oz) * ivz, (mxz - oz) * ivz
+                near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                               jnp.minimum(t0y, t1y)),
+                                   jnp.minimum(t0z, t1z))
+                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                              jnp.maximum(t0y, t1y)),
+                                  jnp.maximum(t0z, t1z))
+                gate = active & (jnp.maximum(near, t_min)
+                                 <= jnp.minimum(far, acc_ref[0:1, :]))
+                j0 = kcl * _LANE
+
+                # The sweep runs for the whole tile when ANY lane wants
+                # this cluster; the fold stays per-lane correct because a
+                # non-gated lane can only be improved by a real closer
+                # hit (its own slab interval just proved there is none,
+                # so `better` is false for it).
+                def _sweep(j0=j0):
+                    cx = mx_ref[j0:j0 + _LANE, 0:1]
+                    cy = mx_ref[j0:j0 + _LANE, 1:2]
+                    cz = mx_ref[j0:j0 + _LANE, 2:3]
+                    c0 = mx_ref[j0:j0 + _LANE, 3:4]
+                    dc = cx * dx + cy * dy + cz * dz
+                    oc_ = cx * ox + cy * oy + cz * oz
+                    bq = od - dc
+                    cq = oo - 2.0 * oc_ + c0
+                    disc = bq * bq - cq
+                    sq = jnp.sqrt(disc)          # NaN on miss: all false
+                    tn = -bq - sq
+                    tf_ = sq - bq
+                    tall = jnp.where(tn > t_min, tn,
+                                     jnp.where(tf_ > t_min, tf_,
+                                               f32(_BIG)))   # (128, T)
+                    t_cl = jnp.min(tall, axis=0)[None, :]
+                    slot = jnp.min(jnp.where(tall == t_cl, iota_c,
+                                             i32(_LANE)), axis=0)[None, :]
+                    t_cur = acc_ref[0:1, :]
+                    better = t_cl < t_cur
+                    # Winner payload: one-hot MXU extraction of the 16
+                    # rows, merged under the same better mask.
+                    oh = (iota_c == slot).astype(f32)
+                    ext = jax.lax.dot_general(
+                        sph_ref[:, j0:j0 + _LANE], oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (16, T)
+                    acc_ref[0:1, :] = jnp.where(better, t_cl, t_cur)
+                    acc_ref[1:17, :] = jnp.where(better, ext,
+                                                 acc_ref[1:17, :])
+
+                if kc == 1:
+                    _sweep()            # single cluster: gate is pointless
+                else:
+                    pl.when(jnp.any(gate))(_sweep)
+            t_s = acc_ref[0:1, :]
+            (scx, scy, scz, _, sparam, sa0r, sa0g, sa0b, sa1r, sa1g, sa1b,
+             sscale, _, smtype, stextype, sinvr) = [
+                acc_ref[r:r + 1, :] for r in range(1, 17)]
+
+        # ---- triangles: dense sweep (megakernel path, unchanged) ----
+        t_t = jnp.full((1, T), f32(_BIG))
+        if nt:
+            v0x = tri_ref[0, :][:, None]
+            v0y = tri_ref[1, :][:, None]
+            v0z = tri_ref[2, :][:, None]
+            e1x = tri_ref[3, :][:, None]
+            e1y = tri_ref[4, :][:, None]
+            e1z = tri_ref[5, :][:, None]
+            e2x = tri_ref[6, :][:, None]
+            e2y = tri_ref[7, :][:, None]
+            e2z = tri_ref[8, :][:, None]
+            px_ = dy * e2z - dz * e2y
+            py_ = dz * e2x - dx * e2z
+            pz_ = dx * e2y - dy * e2x
+            det = e1x * px_ + e1y * py_ + e1z * pz_
+            ok = jnp.abs(det) > 1e-9
+            inv = jnp.where(ok, _recip(jnp.where(ok, det, 1.0)), 0.0)
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (dx * qx + dy * qy + dz * qz) * inv
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+            hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > t_min) & (tt < _BIG))
+            tallt = jnp.where(hitm, tt, f32(_BIG))
+            pt, _ = packed_min(tallt, iota_t, idx_bits_t)
+
+            oh_t = (iota_t == pt).astype(f32)
+            res_t = jax.lax.dot_general(
+                tri_ref[:, :], oh_t,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST)
+
+            def pickt(rows):
+                return [res_t[k:k + 1, :] for k in rows]
+
+            (tnx, tny, tnz, tparam) = pickt((9, 10, 11, 12))
+            (ta0r, ta0g, ta0b) = pickt((13, 14, 15))
+            if has_checker:
+                (ta1r, ta1g, ta1b, tscale_t) = pickt((16, 17, 18, 19))
+            g = tri_groups
+            t_metal = ((pt >= g[2]) & (pt < g[4])) if g[4] > g[2] else None
+            t_diel = (pt >= g[4]) if g[6] > g[4] else None
+            t_check = None
+            for lo, hi in ((g[1], g[2]), (g[3], g[4]), (g[5], g[6])):
+                if hi > lo:
+                    m = (pt >= lo) & (pt < hi)
+                    t_check = m if t_check is None else (t_check | m)
+            false = jnp.zeros(pt.shape, jnp.bool_)
+            t_metal = false if t_metal is None else t_metal
+            t_diel = false if t_diel is None else t_diel
+            t_check = false if t_check is None else t_check
+            # Winner-t replay on the extracted rows (packed selection
+            # truncated the candidate t).
+            (wv0x, wv0y, wv0z, we1x, we1y, we1z, we2x, we2y,
+             we2z) = pickt(tuple(range(9)))
+            wpx = dy * we2z - dz * we2y
+            wpy = dz * we2x - dx * we2z
+            wpz = dx * we2y - dy * we2x
+            wdet = we1x * wpx + we1y * wpy + we1z * wpz
+            wok = jnp.abs(wdet) > 1e-9
+            winv = jnp.where(wok, _recip(jnp.where(wok, wdet, 1.0)), 0.0)
+            wtx = ox - wv0x
+            wty = oy - wv0y
+            wtz = oz - wv0z
+            wuu = (wtx * wpx + wty * wpy + wtz * wpz) * winv
+            wqx = wty * we1z - wtz * we1y
+            wqy = wtz * we1x - wtx * we1z
+            wqz = wtx * we1y - wty * we1x
+            wvv = (dx * wqx + dy * wqy + dz * wqz) * winv
+            wtt = (we2x * wqx + we2y * wqy + we2z * wqz) * winv
+            whit = (wok & (wuu >= 0.0) & (wvv >= 0.0) & (wuu + wvv <= 1.0)
+                    & (wtt > t_min) & (wtt < _BIG))
+            t_t = jnp.where(whit, wtt, f32(_BIG))
+
+        is_tri = t_t < t_s
+        t_best = jnp.where(is_tri, t_t, t_s)
+        hit = active & (t_best < _BIG)
+
+        px = ox + t_best * dx
+        py = oy + t_best * dy
+        pz = oz + t_best * dz
+        if ns and nt:
+            nxv = jnp.where(is_tri, tnx, (px - scx) * sinvr)
+            nyv = jnp.where(is_tri, tny, (py - scy) * sinvr)
+            nzv = jnp.where(is_tri, tnz, (pz - scz) * sinvr)
+            param = jnp.where(is_tri, tparam, sparam)
+            a0r = jnp.where(is_tri, ta0r, sa0r)
+            a0g = jnp.where(is_tri, ta0g, sa0g)
+            a0b = jnp.where(is_tri, ta0b, sa0b)
+            is_metal = jnp.where(is_tri, t_metal, smtype == 1.0)
+            is_diel = jnp.where(is_tri, t_diel, smtype == 2.0)
+            if has_checker:
+                a1r = jnp.where(is_tri, ta1r, sa1r)
+                a1g = jnp.where(is_tri, ta1g, sa1g)
+                a1b = jnp.where(is_tri, ta1b, sa1b)
+                tscale = jnp.where(is_tri, tscale_t, sscale)
+                is_check = jnp.where(is_tri, t_check, stextype == 1.0)
+        elif ns:
+            nxv = (px - scx) * sinvr
+            nyv = (py - scy) * sinvr
+            nzv = (pz - scz) * sinvr
+            param = sparam
+            a0r, a0g, a0b = sa0r, sa0g, sa0b
+            is_metal = smtype == 1.0
+            is_diel = smtype == 2.0
+            if has_checker:
+                a1r, a1g, a1b, tscale = sa1r, sa1g, sa1b, sscale
+                is_check = stextype == 1.0
+        else:
+            nxv, nyv, nzv = tnx, tny, tnz
+            param = tparam
+            a0r, a0g, a0b = ta0r, ta0g, ta0b
+            is_metal, is_diel = t_metal, t_diel
+            if has_checker:
+                a1r, a1g, a1b, tscale = ta1r, ta1g, ta1b, tscale_t
+                is_check = t_check
+        fuzz = ref_idx = param
+
+        # ---- scatter (megakernel's, verbatim) ----
+        bz = 1.0 - 2.0 * u1
+        br = jnp.sqrt(jnp.maximum(0.0, 1.0 - bz * bz))
+        phi = f32(2.0 * math.pi) * u2
+        brad = _cbrt(u3)
+        balx = brad * (br * jnp.cos(phi))
+        baly = brad * (br * jnp.sin(phi))
+        balz = brad * bz
+
+        lamx, lamy, lamz = _unit3(nxv + balx, nyv + baly, nzv + balz,
+                                  eps=1e-20)
+
+        ddn2 = dx * nxv + dy * nyv + dz * nzv
+        refx = dx - 2.0 * ddn2 * nxv
+        refy = dy - 2.0 * ddn2 * nyv
+        refz = dz - 2.0 * ddn2 * nzv
+        mrx = refx + fuzz * balx
+        mry = refy + fuzz * baly
+        mrz = refz + fuzz * balz
+        metal_ok = (mrx * nxv + mry * nyv + mrz * nzv) > 0.0
+        metx, mety, metz = _unit3(mrx, mry, mrz, eps=1e-20)
+
+        outside = ddn2 > 0.0
+        ownx = jnp.where(outside, -nxv, nxv)
+        owny = jnp.where(outside, -nyv, nyv)
+        ownz = jnp.where(outside, -nzv, nzv)
+        ni = jnp.where(outside, ref_idx, _recip(ref_idx))
+        cosine = jnp.where(outside, ref_idx * ddn2, -ddn2)
+        uvx, uvy, uvz = _unit3(dx, dy, dz)
+        dt = uvx * ownx + uvy * owny + uvz * ownz
+        disc2 = 1.0 - ni * ni * (1.0 - dt * dt)
+        can = disc2 > 0
+        sq2 = jnp.sqrt(jnp.where(can, disc2, 0.0))
+        rfx = jnp.where(can, ni * (uvx - ownx * dt) - ownx * sq2, 0.0)
+        rfy = jnp.where(can, ni * (uvy - owny * dt) - owny * sq2, 0.0)
+        rfz = jnp.where(can, ni * (uvz - ownz * dt) - ownz * sq2, 0.0)
+        r0 = (1.0 - ref_idx) * _recip(1.0 + ref_idx)
+        r0 = r0 * r0
+        om = 1.0 - cosine
+        om2 = om * om
+        schl = r0 + (1.0 - r0) * (om2 * om2 * om)
+        rprob = jnp.where(can, schl, 1.0)
+        use_refl = coin < rprob
+        dielx = jnp.where(use_refl, refx, rfx)
+        diely = jnp.where(use_refl, refy, rfy)
+        dielz = jnp.where(use_refl, refz, rfz)
+
+        if has_checker:
+            sines = (jnp.sin(tscale * px) * jnp.sin(tscale * py)
+                     * jnp.sin(tscale * pz))
+            odd = sines < 0.0
+            texr = jnp.where(is_check & odd, a1r, a0r)
+            texg = jnp.where(is_check & odd, a1g, a0g)
+            texb = jnp.where(is_check & odd, a1b, a0b)
+        else:
+            texr, texg, texb = a0r, a0g, a0b
+
+        ndx = jnp.where(is_diel, dielx, jnp.where(is_metal, metx, lamx))
+        ndy = jnp.where(is_diel, diely, jnp.where(is_metal, mety, lamy))
+        ndz = jnp.where(is_diel, dielz, jnp.where(is_metal, metz, lamz))
+        attr = jnp.where(is_diel, 1.0, texr)
+        attg = jnp.where(is_diel, 1.0, texg)
+        attb = jnp.where(is_diel, 1.0, texb)
+        sok = metal_ok | ~is_metal
+
+        cont = hit & sok & (depth < max_depth)
+        miss_now = active & ~hit
+        skyt = 0.5 * (dy + 1.0)
+        rx = rx + jnp.where(miss_now, tpx * ((1.0 - skyt) + skyt * 0.5), 0.0)
+        ry = ry + jnp.where(miss_now, tpy * ((1.0 - skyt) + skyt * 0.7), 0.0)
+        rz = rz + jnp.where(miss_now, tpz * ((1.0 - skyt) + skyt * 1.0), 0.0)
+
+        tpx = jnp.where(cont, tpx * attr, tpx)
+        tpy = jnp.where(cont, tpy * attg, tpy)
+        tpz = jnp.where(cont, tpz * attb, tpz)
+        ox = jnp.where(cont, px, ox)
+        oy = jnp.where(cont, py, oy)
+        oz = jnp.where(cont, pz, oz)
+        dx = jnp.where(cont, ndx, dx)
+        dy = jnp.where(cont, ndy, dy)
+        dz = jnp.where(cont, ndz, dz)
+        depth = jnp.where(cont, depth + 1, depth)
+        segs = segs + jnp.where(active, 1, 0)
+
+        term = active & ~cont
+        samp_new = jnp.where(term, samp + 1, samp)
+        crossed = term & (samp_new % spp == 0)
+        j_cur = sampc // spp
+        j_eff = jnp.where(crossed, j_cur, K)
+        ohf = (iota_k == j_eff).astype(f32)
+        rad_ref[0:K, :] = rad_ref[0:K, :] + ohf * rx
+        rad_ref[K:2 * K, :] = rad_ref[K:2 * K, :] + ohf * ry
+        rad_ref[2 * K:3 * K, :] = rad_ref[2 * K:3 * K, :] + ohf * rz
+        rx = jnp.where(crossed, 0.0, rx)
+        ry = jnp.where(crossed, 0.0, ry)
+        rz = jnp.where(crossed, 0.0, rz)
+
+        _, next_valid = pixel_of(jnp.minimum(samp_new, S - 1))
+        samp = jnp.where(term & ~next_valid, S, samp_new)
+        regen = term & (samp < S)
+        cox, coy, coz, cdx, cdy, cdz = camera_ray(
+            jnp.minimum(samp, S - 1), ju, jv, lu, lv)
+        ox = jnp.where(regen, cox, ox)
+        oy = jnp.where(regen, coy, oy)
+        oz = jnp.where(regen, coz, oz)
+        dx = jnp.where(regen, cdx, dx)
+        dy = jnp.where(regen, cdy, dy)
+        dz = jnp.where(regen, cdz, dz)
+        tpx = jnp.where(regen, 1.0, tpx)
+        tpy = jnp.where(regen, 1.0, tpy)
+        tpz = jnp.where(regen, 1.0, tpz)
+        depth = jnp.where(regen, 0, depth)
+        return (it + 1, samp, depth, ox, oy, oz, dx, dy, dz,
+                tpx, tpy, tpz, rx, ry, rz, segs)
+
+    max_it = S * (max_depth + 1) + 2
+
+    def cond(carry):
+        return (carry[0] < max_it) & jnp.any(carry[1] < S)
+
+    init = (jnp.int32(0), samp0, jnp.zeros((1, T), jnp.int32),
+            ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
+            jnp.zeros((1, T), jnp.int32))
+
+    def body_x(carry):
+        for _ in range(unroll):
+            carry = body(carry)
+        return carry
+
+    final = jax.lax.while_loop(cond, body_x, init)
+    seg_ref[0, :] = final[15][0, :]
+    it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
+
+
+def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
+                         spp, max_depth, t_min, ns, nt, kc, tri_groups,
+                         has_checker, num_pixels=None, total_pixels=None,
+                         spp_total=None, interpret=False, tile=TILE,
+                         k_pix=PIX_PER_LANE, unroll=2):
+    if not t_min > 0.0:
+        raise ValueError(f"clustered megakernel requires t_min > 0")
+    if tri.shape[1] > (1 << 14):
+        raise ValueError("dense triangle path supports at most 2^14 "
+                         "padded triangles")
+    if num_pixels is None:
+        num_pixels = nx * ny
+    if total_pixels is None:
+        total_pixels = nx * ny
+    if spp_total is None:
+        spp_total = spp
+    if pix0 is None:
+        pix0 = jnp.zeros((1, 2), jnp.int32)
+    n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
+    lanes = n_tiles * tile
+    k_pix = max(1, -(-num_pixels // lanes))
+    k_pix = -(-k_pix // 8) * 8
+    grid = (n_tiles,)
+    kernel = functools.partial(
+        _mega_clustered_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
+        t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
+        spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
+        unroll=1 if interpret else unroll, tri_groups=tri_groups,
+        has_checker=has_checker)
+    rad, seg, its = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
+            pl.BlockSpec((sph.shape[0], sph.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((mx.shape[0], mx.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tri.shape[0], tri.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((3 * k_pix, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * k_pix, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+        ),
+        scratch_shapes=[pltpu.VMEM((24, tile), jnp.float32)],
+        interpret=interpret,
+    )(cam, key, pix0, boxes, sph, mx, tri)
+    # Contiguous-tile unpack: pixel = g*K*T + j*T + lane.
+    g = lanes // tile
+    rad = (rad.reshape(3, k_pix, g, tile).transpose(2, 1, 3, 0)
+           .reshape(-1, 3))
+    return rad[:num_pixels], seg, its
+
+
+_mega_clustered_jit = jax.jit(
+    _mega_clustered_call,
+    static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
+                     "kc", "tri_groups", "has_checker", "num_pixels",
+                     "total_pixels", "spp_total", "interpret", "tile",
+                     "k_pix", "unroll"))
+
+
+def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
+                                 interpret: bool = False, tile: int = TILE,
+                                 k_pix: int = PIX_PER_LANE,
+                                 return_iters: bool = False,
+                                 unroll: int = 2):
+    """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
+    cam = _cam_smem(camera)
+    key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    off = jnp.zeros((1, 2), jnp.int32)
+    rad, seg, its = _mega_clustered_jit(
+        cam, key, off, pack.boxes, pack.sph, pack.sph_mx, pack.tris,
+        nx=cfg.nx, ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
+        t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
+        kc=pack.clusters, tri_groups=pack.tri_groups,
+        has_checker=pack.has_checker, interpret=interpret, tile=tile,
+        k_pix=k_pix, unroll=unroll)
+    if return_iters:
+        return rad, seg[0], its[0, ::tile]
+    return rad, seg[0]
+
+
+def render_image_mega_clustered(scene, camera, cfg, seed: int = 0,
+                                interpret: bool = False, tile: int = TILE,
+                                k_pix: int = PIX_PER_LANE):
+    """Full-image clustered-megakernel render; (ny, nx, 3), top-down.
+
+    Same RNG stream and radiance semantics as ``render_image`` /
+    ``render_image_mega``; clusters sorted front-to-back from the camera.
+    """
+    from ..core import rng
+
+    pack = pack_scene_mega_clustered(scene, sort_from=camera.origin)
+    key = rng.base_key(seed)
+    rad, _ = render_pixels_mega_clustered(pack, camera, cfg, key,
+                                          interpret=interpret, tile=tile,
+                                          k_pix=k_pix)
+    img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
+    return img[::-1]

@@ -1,0 +1,85 @@
+"""Clustered megakernel (kernels/megakernel_clustered.py) correctness.
+
+The clustered variant must be an exact drop-in for the dense megakernel —
+same RNG stream, same scatter math, same radiance — with the dense sweep
+replaced by gated per-cluster sweeps.  Because its per-cluster selection
+is EXACT (min t, no packed truncation) while the fold order only differs
+on exact ties, the two kernels agree bit-for-bit on every canonical scene
+(verified below), and both carry the same documented statistical deviation
+vs the wavefront path (cbrt/rsqrt ulps).
+"""
+import numpy as np
+import pytest
+
+from first_raytracer_tpu.kernels.megakernel import render_image_mega
+from first_raytracer_tpu.kernels.megakernel_clustered import (
+    pack_scene_mega_clustered, render_image_mega_clustered,
+    render_pixels_mega_clustered)
+from first_raytracer_tpu.render.api import render_image
+from first_raytracer_tpu.scene.builders import (camera_showcase,
+                                                random_scene, sphere_field,
+                                                three_spheres,
+                                                triangle_scene)
+
+
+@pytest.mark.parametrize("preset,kw", [
+    (three_spheres, dict(nx=32, ny=16, spp=4)),
+    (triangle_scene, dict(nx=32, ny=16, spp=2)),
+    (camera_showcase, dict(nx=32, ny=16, spp=4)),
+    (random_scene, dict(nx=24, ny=12, spp=2)),
+], ids=["three-spheres", "triangle-mesh", "camera-effects",
+        "random-spheres"])
+def test_clustered_matches_dense_megakernel(preset, kw):
+    scene, cam, cfg = preset(**kw)
+    dense = np.asarray(render_image_mega(scene, cam, cfg, interpret=True))
+    clus = np.asarray(render_image_mega_clustered(scene, cam, cfg,
+                                                  interpret=True))
+    # Exact-tie fold-order differences are the only permitted deviation;
+    # none occur on these scenes.
+    np.testing.assert_allclose(clus, dense, rtol=0, atol=1e-6)
+
+
+def test_clustered_on_sphere_field_matches_wavefront():
+    """The kernel's reason to exist: a multi-cluster field scene renders
+    the wavefront image within the kernel-family statistical bound."""
+    scene, cam, cfg = sphere_field(n=600, nx=32, ny=16, spp=2)
+    ref = np.asarray(render_image(scene, cam, cfg))
+    img = np.asarray(render_image_mega_clustered(scene, cam, cfg,
+                                                 interpret=True))
+    d = np.abs(ref - img)
+    assert (d > 1e-3).mean() < 0.03
+    assert np.median(d) < 1e-5
+    # And bit-equal to the dense megakernel (same family, same ties).
+    dense = np.asarray(render_image_mega(scene, cam, cfg, interpret=True))
+    np.testing.assert_allclose(img, dense, rtol=0, atol=1e-6)
+
+
+def test_cluster_sort_is_a_pure_reordering():
+    """Front-to-back cluster sorting must not change the image (the fold
+    is order-independent away from exact ties)."""
+    from first_raytracer_tpu.core import rng
+
+    scene, cam, cfg = sphere_field(n=400, nx=24, ny=12, spp=2)
+    key = rng.base_key(0)
+    p_sorted = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+    p_plain = pack_scene_mega_clustered(scene)
+    r1, _ = render_pixels_mega_clustered(p_sorted, cam, cfg, key,
+                                         interpret=True)
+    r2, _ = render_pixels_mega_clustered(p_plain, cam, cfg, key,
+                                         interpret=True)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                               rtol=0, atol=1e-6)
+
+
+def test_clustered_segment_counts_match_dense():
+    from first_raytracer_tpu.core import rng
+    from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
+                                                        render_pixels_mega)
+
+    scene, cam, cfg = sphere_field(n=400, nx=24, ny=12, spp=2)
+    key = rng.base_key(0)
+    _, seg_c = render_pixels_mega_clustered(
+        pack_scene_mega_clustered(scene), cam, cfg, key, interpret=True)
+    _, seg_d = render_pixels_mega(pack_scene_mega(scene), cam, cfg, key,
+                                  interpret=True)
+    assert int(np.asarray(seg_c).sum()) == int(np.asarray(seg_d).sum())
