@@ -63,7 +63,8 @@ from .megakernel import (_BIG, _TRI_ROWS, TILE, _bits_to_unit, _cam_smem,
                          _cbrt, _recip, _threefry2x32, _unit3)
 
 __all__ = ["pack_scene_mega_clustered", "MegaClusteredPack",
-           "render_pixels_mega_clustered", "render_image_mega_clustered"]
+           "render_pixels_mega_clustered", "render_image_mega_clustered",
+           "render_image_mega_clustered_sharded"]
 
 _LANE = 128           # cluster slot capacity
 _SPH_ROWS = 16
@@ -759,6 +760,62 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
     if return_iters:
         return rad, seg[0], its[0, ::tile]
     return rad, seg[0]
+
+
+def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
+                                        seed: int = 0,
+                                        interpret: bool = False,
+                                        tile: int = TILE,
+                                        k_pix: int = PIX_PER_LANE):
+    """Mesh-sharded clustered-megakernel render; (ny, nx, 3), top-down.
+
+    Data-parallel over the mesh's ``tiles`` axis exactly like
+    ``megakernel.render_image_mega_sharded``: each device renders a
+    contiguous pixel block (the kernel's ``pix0`` offset keeps RNG and
+    camera globally keyed, so the image is bit-identical to the
+    single-device render); cluster tables, boxes and camera replicated;
+    the only collective is the output all-gather implied by the
+    ``P(TILE_AXIS)`` out-spec.
+    """
+    from functools import partial as _partial
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..core import rng
+    from ..parallel.mesh import TILE_AXIS
+
+    pack = pack_scene_mega_clustered(scene, sort_from=camera.origin)
+    key = jnp.asarray(rng.base_key(seed), jnp.uint32).reshape(1, 2)
+    cam = _cam_smem(camera)
+    n_shards = mesh.shape[TILE_AXIS]
+    total = cfg.num_pixels
+    p_local = -(-total // n_shards)
+
+    @_partial(jax.jit, static_argnames=())
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(P(), P(), P(), P(), P(), P()),
+              out_specs=P(TILE_AXIS), check_vma=False)
+    def run(cam, key, boxes, sph, mx, tri):
+        idx = jax.lax.axis_index(TILE_AXIS)
+        pix0 = jnp.stack([idx * p_local,
+                          jnp.zeros((), jnp.int32)]).reshape(1, 2)
+        rad, _, _ = _mega_clustered_call(
+            cam, key, pix0, boxes, sph, mx, tri, nx=cfg.nx, ny=cfg.ny,
+            spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+            ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
+            tri_groups=pack.tri_groups, has_checker=pack.has_checker,
+            num_pixels=p_local, total_pixels=total, interpret=interpret,
+            tile=tile, k_pix=k_pix)
+        return rad
+
+    rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx,
+              pack.tris)[:total]
+    img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
+    return img[::-1]
 
 
 def render_image_mega_clustered(scene, camera, cfg, seed: int = 0,

@@ -71,6 +71,24 @@ def test_cluster_sort_is_a_pure_reordering():
                                rtol=0, atol=1e-6)
 
 
+def test_clustered_sharded_matches_single_device():
+    """Tiles-DP sharding over the 8-device CPU mesh is bit-identical to
+    the single-device clustered render (globally-keyed RNG + pix0)."""
+    from first_raytracer_tpu.kernels.megakernel_clustered import (
+        render_image_mega_clustered_sharded)
+    from first_raytracer_tpu.parallel.mesh import make_render_mesh
+
+    scene, cam, cfg = sphere_field(n=300, nx=32, ny=16, spp=2)
+    single = np.asarray(render_image_mega_clustered(
+        scene, cam, cfg, interpret=True, tile=128, k_pix=2))
+    import jax
+    mesh = make_render_mesh(num_tile_shards=4, num_spp_shards=1,
+                            devices=jax.devices()[:4])
+    sharded = np.asarray(render_image_mega_clustered_sharded(
+        scene, cam, cfg, mesh, interpret=True, tile=128, k_pix=2))
+    np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-6)
+
+
 def test_clustered_segment_counts_match_dense():
     from first_raytracer_tpu.core import rng
     from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
