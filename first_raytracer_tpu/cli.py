@@ -209,8 +209,12 @@ def _cmd_occupancy(args):
     scene, camera, cfg, accel = _build(args)
     out = wavefront_occupancy(scene, camera, cfg, seed=args.seed,
                               accel=accel)
-    out["megakernel"] = megakernel_occupancy(scene, camera, cfg,
-                                             seed=args.seed)
+    if scene.num_primitives <= (1 << 14):
+        out["megakernel"] = megakernel_occupancy(scene, camera, cfg,
+                                                 seed=args.seed)
+    from .utils.metrics import megakernel_clustered_occupancy
+    out["megakernel_clustered"] = megakernel_clustered_occupancy(
+        scene, camera, cfg, seed=args.seed)
     print(json.dumps(out, indent=2))
 
 

@@ -119,3 +119,40 @@ def megakernel_occupancy(scene, camera, cfg: RenderConfig, seed: int = 0,
         "tile_trips_max": int(trips.max()),
         "lane_occupancy": round(segs / slots, 4) if slots else 0.0,
     }
+
+
+def megakernel_clustered_occupancy(scene, camera, cfg: RenderConfig,
+                                   seed: int = 0, tile: int = None,
+                                   k_pix: int = None,
+                                   interpret: bool = False):
+    """Lane occupancy of the clustered megakernel.
+
+    Contiguous pixel tiles correlate long paths spatially (glass regions
+    land in one tile), so this is expected to sit below the dense
+    kernel's grid-stride occupancy — the culling trade
+    (kernels/megakernel_clustered.py docstring).
+    """
+    from ..kernels import megakernel_clustered as mc
+
+    pack = mc.pack_scene_mega_clustered(scene, sort_from=camera.origin)
+    key = rng.base_key(seed)
+    kw = {}
+    if tile:
+        kw["tile"] = tile
+    if k_pix:
+        kw["k_pix"] = k_pix
+    rad, seg, its = mc.render_pixels_mega_clustered(
+        pack, camera, cfg, key, interpret=interpret, return_iters=True,
+        **kw)
+    segs = int(np.asarray(seg, np.int64).sum())
+    trips = np.asarray(its, np.int64)
+    lanes = kw.get("tile", mc.TILE)
+    slots = int(trips.sum()) * lanes
+    return {
+        "segments": segs,
+        "clusters": pack.clusters,
+        "mean_path_len": round(segs / cfg.num_rays, 3),
+        "tile_trips_mean": round(float(trips.mean()), 1),
+        "tile_trips_max": int(trips.max()),
+        "lane_occupancy": round(segs / slots, 4) if slots else 0.0,
+    }

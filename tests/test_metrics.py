@@ -39,6 +39,19 @@ def test_megakernel_occupancy_consistent_with_wavefront():
     assert 0.0 < mk["lane_occupancy"] <= 1.0
 
 
+def test_clustered_megakernel_occupancy_consistent():
+    from first_raytracer_tpu.utils.metrics import (
+        megakernel_clustered_occupancy)
+
+    scene, cam, cfg = _tiny()
+    wf = wavefront_occupancy(scene, cam, cfg, seed=0,
+                             num_rays=cfg.num_rays)
+    mc = megakernel_clustered_occupancy(scene, cam, cfg, seed=0, tile=128,
+                                        k_pix=2, interpret=True)
+    assert abs(mc["mean_path_len"] - wf["avg_path_length"]) < 1e-3
+    assert 0.0 < mc["lane_occupancy"] <= 1.0
+
+
 def test_log_metrics_emits_json(caplog):
     with caplog.at_level(logging.INFO, logger="first_raytracer_tpu"):
         log_metrics("tag", {"a": 1})
