@@ -225,12 +225,30 @@ def main():
                 def rec_tape():
                     return rec(scene, cam, cfg, key, ids, accel, gpool)
 
-            trips = live_trips(rec_tape())
+            # Replay: depth-bucketed by default (each bucket runs only
+            # its own trip count); BENCH_GRAD_REPLAY=flat for the
+            # single-trip-count replay.  The plan is data-deterministic
+            # (fixed seed) so it is computed once outside the timed loop.
+            replay_kind = os.environ.get("BENCH_GRAD_REPLAY", "bucketed")
+            if replay_kind == "bucketed":
+                from first_raytracer_tpu.diff.grad import (
+                    render_loss_and_grads_bucketed)
+                from first_raytracer_tpu.diff.replay import plan_buckets
+                plan = plan_buckets(rec_tape())
 
-            def run():
-                tape = rec_tape()
-                return render_loss_and_grads_tape(
-                    params, scene, cam, cfg, key, ids, target, tape[:trips])
+                def run():
+                    tape = rec_tape()
+                    return render_loss_and_grads_bucketed(
+                        params, scene, cam, cfg, key, ids, target, tape,
+                        plan=plan)
+            else:
+                trips = live_trips(rec_tape())
+
+                def run():
+                    tape = rec_tape()
+                    return render_loss_and_grads_tape(
+                        params, scene, cam, cfg, key, ids, target,
+                        tape[:trips])
         else:
             def run():
                 return render_loss_and_grads(params, scene, cam, cfg, key,

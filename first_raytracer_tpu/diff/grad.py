@@ -27,6 +27,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng
 from ..render.camera import generate_rays
@@ -34,7 +35,8 @@ from ..render.integrator import RenderConfig, trace_rays
 
 __all__ = ["DIFF_FIELDS", "split_params", "merge_params", "ray_radiance",
            "render_loss", "render_loss_and_grads",
-           "render_loss_and_grads_tape", "sgd_step", "make_fit_step"]
+           "render_loss_and_grads_tape", "render_loss_and_grads_bucketed",
+           "sgd_step", "make_fit_step"]
 
 # The differentiable parameter set named by the north-star [BASELINE.json:5]:
 # material albedo/fuzz/IOR + sphere centers/radii (+ checker secondary color
@@ -124,6 +126,56 @@ def render_loss_and_grads_tape(params, scene, camera, cfg, key, ray_ids,
         return jnp.mean((rad - target) ** 2)
 
     return jax.value_and_grad(loss)(params)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _loss_grads_groups(params, scene, camera, cfg, key, groups, denom):
+    """value+grad of the bucketed replay loss.
+
+    ``groups`` is a tuple of (ids_g, target_g, tape_g) with per-group
+    trip counts carried by the tape shapes (static: jit re-traces once
+    per bucket-shape combination, which ``plan_buckets`` bounds by
+    rounding trips to powers of two)."""
+    def loss(params):
+        s = merge_params(scene, params)
+        from .replay import trace_rays_replay
+        total = jnp.float32(0.0)
+        for ids_g, target_g, tape_g in groups:
+            cam_u = rng.camera_uniforms(key, ids_g)
+            o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ids_g,
+                                 cam_u)
+            rad = trace_rays_replay(s, o, d, ids_g, key, cfg, tape_g)
+            total = total + jnp.sum((rad - target_g) ** 2)
+        return total / denom
+
+    return jax.value_and_grad(loss)(params)
+
+
+def render_loss_and_grads_bucketed(params, scene, camera, cfg, key,
+                                   ray_ids, target, tape, plan=None,
+                                   max_groups: int = 4):
+    """(loss, grads) replaying depth-sorted ray buckets (diff/replay.py
+    ``plan_buckets``): each bucket runs only its own trip count, cutting
+    replay work to ~R x mean path length instead of R x deepest path.
+    Loss and gradients equal ``render_loss_and_grads_tape`` on the full
+    tape up to f32 summation order (tests/test_replay_planned.py).
+
+    ``plan`` (from ``plan_buckets(tape, max_groups)``) may be passed in
+    so repeated calls on the same tape skip the host-side sort.
+    """
+    from .replay import plan_buckets
+    if plan is None:
+        plan = plan_buckets(tape, max_groups)
+    order, groups = plan
+    ids_s = jnp.asarray(ray_ids)[order]
+    target_s = jnp.asarray(target)[order]
+    tape_s = tape[:, order]
+    parts = tuple(
+        (ids_s[s:s + n], target_s[s:s + n], tape_s[:trips, s:s + n])
+        for s, n, trips in groups)
+    denom = jnp.float32(np.prod(np.asarray(target).shape))
+    return _loss_grads_groups(params, scene, camera, cfg, key, parts,
+                              denom)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn", "lr"))

@@ -61,7 +61,7 @@ from ..render.integrator import (RenderConfig, default_intersect,
 from ..scene.textures import texture_from_params
 
 __all__ = ["record_paths", "record_paths_pool", "trace_rays_replay",
-           "live_trips"]
+           "live_trips", "plan_buckets"]
 
 # Payload-table material block layout (columns after the geometry block):
 # [mtype, fuzz, ref_idx, albedo(3), albedo2(3), tex_scale, tex_type] = 11.
@@ -220,6 +220,54 @@ def live_trips(tape) -> int:
     if not rows.any():
         return 1
     return min(int(np.nonzero(rows)[0].max()) + 2, tape.shape[0])
+
+
+def plan_buckets(tape, max_groups: int = 4):
+    """Host-side replay plan: rays sorted by recorded path length, split
+    into depth buckets.
+
+    The lockstep replay runs EVERY ray for the deepest ray's trip count —
+    on the final scene one 50-bounce glass path makes 9.6M rays replay 51
+    trips while the mean path is ~2.6.  Sorting rays by their tape depth
+    and replaying each bucket only to its own (power-of-two-rounded, so
+    jit retraces stay bounded) trip count cuts replay work to
+    ~R x mean_len instead of R x max_len, with bit-identical per-ray
+    radiance (replay is per-ray independent).
+
+    Returns ``(order, groups)``: ``order`` is the (R,) i32 permutation,
+    ``groups`` a tuple of ``(start, size, trips)`` covering ``order``.
+    """
+    t = np.asarray(jax.device_get(tape))
+    D, R = t.shape
+    hit_any = t >= 0
+    # Trips ray i needs: one past its deepest hit (the miss that follows),
+    # capped at D; no-hit rays need exactly 1 (the sky trip).
+    deepest = np.where(hit_any.any(axis=0),
+                       (D - 1) - np.argmax(hit_any[::-1], axis=0), -1)
+    need = np.minimum(deepest + 2, D).astype(np.int64)
+    need = np.maximum(need, 1)
+    order = np.argsort(need, kind="stable").astype(np.int32)
+    sorted_need = need[order]
+    groups = []
+    start = 0
+    bounds = np.linspace(0, R, max_groups + 1).astype(np.int64)
+    for g in range(max_groups):
+        end = int(bounds[g + 1])
+        if end <= start:
+            continue
+        trips = int(sorted_need[start:end].max())
+        trips = min(1 << max(trips - 1, 0).bit_length(), D)
+        groups.append((start, end - start, trips))
+        start = end
+    # Merge adjacent buckets that rounded to the same trip count.
+    merged = [groups[0]]
+    for s, n, tr in groups[1:]:
+        ps, pn, ptr = merged[-1]
+        if tr == ptr:
+            merged[-1] = (ps, pn + n, ptr)
+        else:
+            merged.append((s, n, tr))
+    return jnp.asarray(order), tuple(merged)
 
 
 def _mat_block(scene, mat_ids):

@@ -1,0 +1,69 @@
+"""Bucketed (depth-sorted) replay vs the flat tape replay.
+
+plan_buckets sorts rays by recorded path length so each bucket replays
+only its own trip count; per-ray radiance is identical (replay is per-ray
+independent), so the loss and every gradient must match the flat replay
+up to f32 summation order.
+"""
+import jax.numpy as jnp
+import numpy as np
+
+from first_raytracer_tpu.core import rng
+from first_raytracer_tpu.diff.grad import (render_loss_and_grads_bucketed,
+                                           render_loss_and_grads_tape,
+                                           split_params)
+from first_raytracer_tpu.diff.replay import (live_trips, plan_buckets,
+                                             record_paths)
+from first_raytracer_tpu.render.camera import generate_rays
+from first_raytracer_tpu.scene.builders import random_scene, three_spheres
+
+
+def _setup(preset, **kw):
+    scene, cam, cfg = preset(**kw)
+    key = rng.base_key(1)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+    cam_u = rng.camera_uniforms(key, ids)
+    o, d = generate_rays(cam, cfg.nx, cfg.ny, cfg.spp, ids, cam_u)
+    tape = record_paths(scene, o, d, ids, key, cfg)
+    r = np.random.RandomState(0)
+    target = jnp.asarray(r.rand(cfg.num_rays, 3).astype(np.float32))
+    return scene, cam, cfg, key, ids, target, tape
+
+
+def test_plan_covers_all_rays():
+    scene, cam, cfg, key, ids, target, tape = _setup(
+        random_scene, nx=16, ny=8, spp=2)
+    order, groups = plan_buckets(tape)
+    assert sorted(np.asarray(order).tolist()) == list(range(cfg.num_rays))
+    assert sum(n for _, n, _ in groups) == cfg.num_rays
+    # Trip counts are nondecreasing and within the tape depth.
+    trips = [t for _, _, t in groups]
+    assert trips == sorted(trips) and trips[-1] <= tape.shape[0]
+
+
+def test_bucketed_matches_flat_replay():
+    for preset, kw in ((random_scene, dict(nx=16, ny=8, spp=2)),
+                       (three_spheres, dict(nx=16, ny=8, spp=2))):
+        scene, cam, cfg, key, ids, target, tape = _setup(preset, **kw)
+        params, _ = split_params(scene)
+        l_flat, g_flat = render_loss_and_grads_tape(
+            params, scene, cam, cfg, key, ids, target,
+            tape[:live_trips(tape)])
+        l_b, g_b = render_loss_and_grads_bucketed(
+            params, scene, cam, cfg, key, ids, target, tape)
+        np.testing.assert_allclose(float(l_b), float(l_flat), rtol=1e-5)
+        for k in g_flat:
+            np.testing.assert_allclose(np.asarray(g_b[k]),
+                                       np.asarray(g_flat[k]),
+                                       rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_bucketed_work_is_smaller():
+    """The plan's total (rays x trips) work must beat flat replay on a
+    depth-skewed tape (the reason it exists)."""
+    scene, cam, cfg, key, ids, target, tape = _setup(
+        random_scene, nx=16, ny=8, spp=4)
+    order, groups = plan_buckets(tape)
+    flat = cfg.num_rays * live_trips(tape)
+    planned = sum(n * t for _, n, t in groups)
+    assert planned < flat, (planned, flat)

@@ -122,6 +122,9 @@ def stage_gradbench():
     if agree < 0.999:
         raise SystemExit(4)
 
+    from first_raytracer_tpu.diff.grad import render_loss_and_grads_bucketed
+    from first_raytracer_tpu.diff.replay import plan_buckets
+
     for logr in (16, 17):
         R = 1 << logr
         ids = jnp.arange(R, dtype=jnp.int32)
@@ -135,13 +138,19 @@ def stage_gradbench():
         tape_trim = tape[:trips]
         t_rep = _timeit(lambda: render_loss_and_grads_tape(
             params, scene, cam, cfg, key, ids, target, tape_trim))
+        plan = plan_buckets(tape)
+        t_buck = _timeit(lambda: render_loss_and_grads_bucketed(
+            params, scene, cam, cfg, key, ids, target, tape, plan=plan))
+        best_rep = min(t_rep, t_buck)
         print(json.dumps(dict(
             stage="gradbench", R=R, trips=trips,
+            buckets=[list(g) for g in plan[1]],
             rec_mega_s=round(t_rec_mega, 4),
             rec_pool_s=round(t_rec_pool, 4),
-            replay_s=round(t_rep, 4),
-            mpaths_grad=round(R / (t_rec_mega + t_rep) / 1e6, 3),
-            target_1p5=bool(R / (t_rec_mega + t_rep) / 1e6 >= 1.5),
+            replay_flat_s=round(t_rep, 4),
+            replay_bucketed_s=round(t_buck, 4),
+            mpaths_grad=round(R / (t_rec_mega + best_rep) / 1e6, 3),
+            target_1p5=bool(R / (t_rec_mega + best_rep) / 1e6 >= 1.5),
         )), flush=True)
 
 
