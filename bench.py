@@ -207,10 +207,11 @@ def main():
                 from first_raytracer_tpu.kernels.record_mega import (
                     pack_scene_mega as _pack_mega, record_paths_mega)
                 gpack = _pack_mega(scene)
+                kr = int(os.environ.get("BENCH_GRAD_KRAYS", 32))
 
                 def rec_tape():
                     return record_paths_mega(gpack, cam, cfg, key,
-                                             num_rays=total)
+                                             num_rays=total, k_rays=kr)
             else:
                 gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
 
@@ -229,6 +230,11 @@ def main():
             # its own trip count); BENCH_GRAD_REPLAY=flat for the
             # single-trip-count replay.  The plan is data-deterministic
             # (fixed seed) so it is computed once outside the timed loop.
+            # Throughput is measured over BENCH_GRAD_PIPELINE back-to-back
+            # record+grad steps with one device sync at the end — the
+            # steady-state shape of a fit loop, where async dispatch
+            # overlaps the per-call host round-trip with device work.
+            pipe = max(1, int(os.environ.get("BENCH_GRAD_PIPELINE", 4)))
             replay_kind = os.environ.get("BENCH_GRAD_REPLAY", "bucketed")
             if replay_kind == "bucketed":
                 from first_raytracer_tpu.diff.grad import (
@@ -236,7 +242,7 @@ def main():
                 from first_raytracer_tpu.diff.replay import plan_buckets
                 plan = plan_buckets(rec_tape())
 
-                def run():
+                def step():
                     tape = rec_tape()
                     return render_loss_and_grads_bucketed(
                         params, scene, cam, cfg, key, ids, target, tape,
@@ -244,11 +250,16 @@ def main():
             else:
                 trips = live_trips(rec_tape())
 
-                def run():
+                def step():
                     tape = rec_tape()
                     return render_loss_and_grads_tape(
                         params, scene, cam, cfg, key, ids, target,
                         tape[:trips])
+
+            total *= pipe
+
+            def run():
+                return [step() for _ in range(pipe)]
         else:
             def run():
                 return render_loss_and_grads(params, scene, cam, cfg, key,

@@ -304,15 +304,25 @@ def _payload_tables(scene):
     return sph, tri
 
 
-def _extract(table, idx):
-    """One-hot MXU payload extraction: rows ``table[idx]`` as a matmul.
+# Above this primitive count the (R, N) one-hot materialization costs
+# more HBM traffic than the scatter-add it avoids (at 20k primitives it
+# is gigabytes per trip); large scenes fall back to a plain gather.
+_ONEHOT_MAX = 4096
 
-    Forward: (R, N) one-hot @ (N, C) table on the systolic array — exact,
-    since each output is a single 1.0 x value product (HIGHEST precision
-    keeps f32 through the bf16-pass decomposition).  Backward (the reason
-    this exists): the transpose is onehot^T @ grad, another MXU matmul,
-    instead of R scatter-adds per field per bounce.
+
+def _extract(table, idx):
+    """Payload extraction: rows ``table[idx]``.
+
+    Small tables: a one-hot MXU matmul — forward rides the systolic array
+    ((R, N) one-hot @ (N, C), exact at HIGHEST precision since each
+    output is a single 1.0 x value product), and backward transposes to
+    another matmul instead of R scatter-adds per field per bounce.
+    Tables above ``_ONEHOT_MAX`` rows: a plain gather (backward is a
+    scatter-add, which at that scale is cheaper than materializing the
+    (R, N) one-hot).
     """
+    if table.shape[0] > _ONEHOT_MAX:
+        return table[idx]
     iota = jnp.arange(table.shape[0], dtype=idx.dtype)
     onehot = (idx[:, None] == iota[None, :]).astype(table.dtype)
     return jnp.matmul(onehot, table,

@@ -125,15 +125,29 @@ def stage_gradbench():
     from first_raytracer_tpu.diff.grad import render_loss_and_grads_bucketed
     from first_raytracer_tpu.diff.replay import plan_buckets
 
+    # Recorder lane-load sweep: k_rays trades one-hot tape-write cost
+    # against lane occupancy (a 46-deep path stalls its whole tile; more
+    # rays per lane average it out).
+    R = 1 << 17
+    for kr in (8, 32, 64):
+        t = _timeit(lambda: record_paths_mega(mpack, cam, cfg, key,
+                                              num_rays=R, k_rays=kr))
+        print(json.dumps(dict(stage="gradbench", check="k_rays_sweep",
+                              R=R, k_rays=kr, rec_s=round(t, 4))),
+              flush=True)
+
     for logr in (16, 17):
         R = 1 << logr
         ids = jnp.arange(R, dtype=jnp.int32)
         target = jnp.zeros((R, 3), jnp.float32)
+        kr = int(os.environ.get("GRADBENCH_KRAYS", 32))
         t_rec_mega = _timeit(
-            lambda: record_paths_mega(mpack, cam, cfg, key, num_rays=R))
+            lambda: record_paths_mega(mpack, cam, cfg, key, num_rays=R,
+                                      k_rays=kr))
         t_rec_pool = _timeit(
             lambda: rec_pool(scene, cam, cfg, key, ids, accel, 1 << 14))
-        tape = record_paths_mega(mpack, cam, cfg, key, num_rays=R)
+        tape = record_paths_mega(mpack, cam, cfg, key, num_rays=R,
+                                 k_rays=kr)
         trips = live_trips(tape)
         tape_trim = tape[:trips]
         t_rep = _timeit(lambda: render_loss_and_grads_tape(
@@ -142,15 +156,34 @@ def stage_gradbench():
         t_buck = _timeit(lambda: render_loss_and_grads_bucketed(
             params, scene, cam, cfg, key, ids, target, tape, plan=plan))
         best_rep = min(t_rep, t_buck)
+
+        # Steady-state throughput: P back-to-back record+grad rounds, one
+        # block at the end — async dispatch overlaps the ~30 ms tunnel
+        # round-trip with device work, exactly as a jitted fit loop runs.
+        P = 4
+
+        def chained():
+            outs = []
+            for _ in range(P):
+                tp = record_paths_mega(mpack, cam, cfg, key, num_rays=R,
+                                       k_rays=kr)
+                outs.append(render_loss_and_grads_bucketed(
+                    params, scene, cam, cfg, key, ids, target, tp,
+                    plan=plan))
+            return outs
+
+        t_pipe = _timeit(chained) / P
         print(json.dumps(dict(
-            stage="gradbench", R=R, trips=trips,
+            stage="gradbench", R=R, trips=trips, k_rays=kr,
             buckets=[list(g) for g in plan[1]],
             rec_mega_s=round(t_rec_mega, 4),
             rec_pool_s=round(t_rec_pool, 4),
             replay_flat_s=round(t_rep, 4),
             replay_bucketed_s=round(t_buck, 4),
+            pipelined_step_s=round(t_pipe, 4),
             mpaths_grad=round(R / (t_rec_mega + best_rep) / 1e6, 3),
-            target_1p5=bool(R / (t_rec_mega + best_rep) / 1e6 >= 1.5),
+            mpaths_grad_pipelined=round(R / t_pipe / 1e6, 3),
+            target_1p5=bool(R / t_pipe / 1e6 >= 1.5),
         )), flush=True)
 
 
@@ -164,6 +197,13 @@ def stage_fieldbench():
 
     key = rng.base_key(0)
     rows = []
+
+    def write_out():
+        # After every scene, so a late-stage crash keeps earlier rows.
+        with open(os.path.join(_ROOT, "FIELDBENCH_r4.json"), "w") as f:
+            json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
+                      indent=1)
+
     for name, (scene, cam, cfg) in [
             ("random500", random_scene()),
             ("field5000", sphere_field(n=5000)),
@@ -179,9 +219,15 @@ def stage_fieldbench():
                    clusters=cpak.clusters, seconds=round(t, 4),
                    mpaths=round(cfg.num_rays / t / 1e6, 2),
                    mrays=round(segs / t / 1e6, 2),
-                   occupancy=round(occ, 3))
-        # Cross-check radiance against the dense megakernel where it fits.
-        if scene.num_primitives <= (1 << 14):
+                   occupancy=round(occ, 3),
+                   radiance_sum=float(np.asarray(rad, np.float64).sum()))
+        # Cross-check radiance against the dense megakernel where its
+        # (Ns_pad, T) sweep temporaries still fit scoped VMEM — ~1k
+        # primitives; at 5k the dense kernel itself fails to compile
+        # (30 MB > 16 MB scoped vmem), which is the reason the clustered
+        # kernel exists.  Large-scene correctness is pinned by the
+        # interpret-mode tests + the crossover stage's intersect checks.
+        if scene.num_primitives <= 1024:
             mpack = pack_scene_mega(scene)
             rad_d, _ = render_pixels_mega(mpack, cam, cfg, key)
             d = np.abs(np.asarray(rad) - np.asarray(rad_d)) / cfg.spp
@@ -190,9 +236,7 @@ def stage_fieldbench():
             row["dense_mpaths"] = round(cfg.num_rays / t_d / 1e6, 2)
         rows.append(row)
         print(json.dumps(row), flush=True)
-    with open(os.path.join(_ROOT, "FIELDBENCH_r4.json"), "w") as f:
-        json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
-                  indent=1)
+        write_out()
 
 
 def stage_crossover():
