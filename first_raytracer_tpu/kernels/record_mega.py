@@ -122,7 +122,10 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
         return (_bits_to_unit(a0), _bits_to_unit(a1),
                 _bits_to_unit(b0), _bits_to_unit(b1))
 
-    tape_ref[:, :] = jnp.zeros((rpad, T), i32)
+    # f32 accumulator: packed ids stay < 2^14 + 1 (exact in f32), and the
+    # one-hot write lowers to a native VPU FMA instead of a 32-bit integer
+    # multiply sequence; the host converts back to i32.
+    tape_ref[:, :] = jnp.zeros((rpad, T), f32)
 
     ns_pad = mx_ref.shape[0] if ns else 0
     nt_pad = tri_ref.shape[1] if nt else 0
@@ -303,10 +306,10 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
         # Each (slot, depth) cell of a lane is visited at most once, so the
         # += lands exactly one nonzero per write — never a scatter, same
         # pattern as the megakernel's pixel flush.  0 = miss/dead (mapped
-        # to -1 on the host), else packed winner + 1.
+        # to -1 on the host), else packed winner + 1 (f32-exact: < 2^14+1).
         row = sampc * D + depth
-        val = jnp.where(hit, packed + 1, 0)
-        ohw = (iota_r == row).astype(i32)
+        val = jnp.where(hit, (packed + 1).astype(f32), 0.0)
+        ohw = (iota_r == row).astype(f32)
         tape_ref[:, :] = tape_ref[:, :] + ohw * val
 
         # ---- scatter direction (megakernel's, minus attenuation) ----
@@ -440,11 +443,12 @@ def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
         ],
         out_specs=pl.BlockSpec((rpad, tile), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rpad, lanes), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((rpad, lanes), jnp.float32),
         interpret=interpret,
     )(cam, key, off, sph, mx, tri)
     # (slot*D + d, lane) -> (d, slot*L + lane): the lane's slot s owns
     # global ray  ray0 + s*L + lane.
+    tape = tape.astype(jnp.int32)
     tape = (tape[:k_rays * D].reshape(k_rays, D, lanes)
             .transpose(1, 0, 2).reshape(D, k_rays * lanes))
     return tape[:, :num_rays]
