@@ -245,9 +245,33 @@ def stage_crossover():
     cb.main()
 
 
+def stage_ablate():
+    """Dense-megakernel tile-size sweep — the one knob never measured
+    (k_pix/unroll were swept in r2 at tile=512 only)."""
+    from first_raytracer_tpu.core import rng
+    from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
+                                                        render_pixels_mega)
+    from first_raytracer_tpu.scene.builders import random_scene
+
+    scene, cam, cfg = random_scene()
+    pack = pack_scene_mega(scene)
+    key = rng.base_key(0)
+    for tile in (256, 512, 1024):
+        try:
+            t = _timeit(lambda: render_pixels_mega(pack, cam, cfg, key,
+                                                   tile=tile))
+            print(json.dumps(dict(stage="ablate", tile=tile,
+                                  seconds=round(t, 4),
+                                  mpaths=round(cfg.num_rays / t / 1e6,
+                                               2))), flush=True)
+        except Exception as e:  # per-tile fence: a Mosaic reject is data
+            print(json.dumps(dict(stage="ablate", tile=tile,
+                                  error=str(e)[:200])), flush=True)
+
+
 STAGES = dict(acceptance=stage_acceptance, headline=stage_headline,
               gradbench=stage_gradbench, fieldbench=stage_fieldbench,
-              crossover=stage_crossover)
+              crossover=stage_crossover, ablate=stage_ablate)
 
 # (stage, artifact that must exist afterwards; None = stdout-only)
 ARTIFACTS = dict(acceptance="ACCEPTANCE_r4.json",
