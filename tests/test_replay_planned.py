@@ -101,3 +101,34 @@ def test_gather_extraction_matches_onehot(monkeypatch):
         scale = max(float(np.abs(a).max()), 1e-6)
         np.testing.assert_allclose(b, a, rtol=0, atol=0.35 * scale,
                                    err_msg=k)
+
+
+def test_large_scene_grad_end_to_end():
+    """sphere_field(5000): record with the clustered intersector, replay
+    with the gather extraction (one-hot would materialize (R, 5120));
+    gradients must be finite and the albedo gradient nonzero."""
+    import jax
+    from first_raytracer_tpu.kernels.intersect_clustered import (
+        intersect_clustered, pack_scene_clustered)
+    from first_raytracer_tpu.scene.builders import sphere_field
+
+    scene, cam, cfg = sphere_field(n=5000, nx=16, ny=8, spp=1)
+    key = rng.base_key(0)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+    cam_u = rng.camera_uniforms(key, ids)
+    o, d = generate_rays(cam, cfg.nx, cfg.ny, cfg.spp, ids, cam_u)
+    accel = pack_scene_clustered(scene)
+
+    def isect(s, a, o_, d_, tm):
+        return intersect_clustered(s, a, o_, d_, tm, interpret=True)
+
+    tape = record_paths(scene, o, d, ids, key, cfg, accel=accel,
+                        intersect_fn=isect)
+    params, _ = split_params(scene, fields=("albedo", "sphere_center"))
+    target = jnp.zeros((cfg.num_rays, 3), jnp.float32)
+    loss, grads = render_loss_and_grads_bucketed(
+        params, scene, cam, cfg, key, ids, target, tape)
+    assert np.isfinite(float(loss))
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    assert float(jnp.abs(grads["albedo"]).max()) > 0.0
