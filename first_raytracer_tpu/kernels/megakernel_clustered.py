@@ -21,11 +21,17 @@ persistent-lane design and adds the two-level culling of
   cluster's 128 slots are swept at all.  Divergence is tile-granular —
   the only granularity TPU control flow is free at — so lanes must be
   COHERENT: unlike the dense megakernel's image-wide grid stride, a tile
-  here owns a CONTIGUOUS block of ``k_pix * tile`` pixels (lane ``l`` of
-  tile ``g`` owns pixels ``g*K*T + j*T + l``).  That trades some lane
-  occupancy (long paths cluster spatially) for culling that actually
-  fires; the dense kernel made the opposite trade because it sweeps
-  everything anyway.
+  here owns a 2D RECTANGLE of pixels (``tile_w x tile_h``, default
+  128x128).  A rectangle is the coherence sweet spot twice over: its
+  depth-0 frustum is a narrow cone (a contiguous 1D pixel range would be
+  a whole-image-width band whose frustum crosses most of the scene —
+  measured on sphere_field(5000): nearly every cluster swept every
+  iteration), and its bounce-ray ORIGINS stay inside the small surface
+  patch the rectangle sees, so the best-t-bounded slab gates prune
+  distant clusters even for isotropic bounce directions.  The occupancy
+  cost (long paths cluster spatially) is the price of gates that fire;
+  the dense kernel made the opposite trade because it sweeps everything
+  anyway.
 - **Exact selection**: per swept cluster the winner is the exact
   (min t, min slot) — no packed-mantissa truncation — folded across
   clusters; the winner's 16 payload rows (geometry + material, material
@@ -222,17 +228,23 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
 def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                            mx_ref, tri_ref, rad_ref, seg_ref, it_ref,
                            acc_ref, *,
-                           nx, ny, spp, max_depth, t_min, num_pixels,
+                           nx, ny, spp, max_depth, t_min, tile_w, grid_w,
                            total_pixels, spp_total, ns, nt, kc, tile,
                            k_pix, unroll, tri_groups, has_checker):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
     S = K * spp
-    step = pl.program_id(0)
+    TW = tile_w
+    TH = (K * T) // TW
+    # Global 2D tile position (t0 offsets the tile index for sharding);
+    # scalar arithmetic, once per grid step.
+    g = pix0_ref[0, 0] + pl.program_id(0)
+    gy = g // grid_w
+    gx = g - gy * grid_w
+    x0 = gx * TW
+    y0 = gy * TH
     lane = jax.lax.broadcasted_iota(i32, (1, T), 1)   # tile-local
-    base = step * (K * T)                             # tile's pixel base
-    pix0 = pix0_ref[0, 0]
     spp0 = pix0_ref[0, 1]
     k0 = key_ref[0, 0]
     k1 = key_ref[0, 1]
@@ -249,12 +261,19 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
         return jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
 
     def pixel_of(s):
-        """CONTIGUOUS-tile pixel for a lane's sample counter: the tile
-        owns pixels [base, base + K*T); lane l's j-th pixel is
-        base + j*T + l — coherent bands, the culling precondition."""
-        loc = base + lane + _fdiv(s, 1.0 / spp, spp) * T
-        pix = pix0 + loc
-        valid = (loc < num_pixels) & (pix < total_pixels)
+        """2D-rectangle pixel for a lane's sample counter: the tile owns
+        the pixel rect [x0, x0+TW) x [y0, y0+TH); within-tile linear
+        index ``loc = j*T + lane`` walks the rect row-major.  Lane l's
+        within-tile x is fixed (T is a multiple of TW), its y grows with
+        j — so validity is monotone in j, which the regeneration logic
+        relies on."""
+        loc = lane + _fdiv(s, 1.0 / spp, spp) * T
+        yin = _fdiv(loc, 1.0 / TW, TW)
+        xin = loc - yin * TW
+        x = x0 + xin
+        y = y0 + yin
+        valid = (x < nx) & (y < ny)
+        pix = y * nx + x
         return jnp.minimum(pix, total_pixels - 1), valid
 
     def ray_id(s):
@@ -666,32 +685,71 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
     it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
 
 
+def _tile_geometry(nx, ny, tile, k_pix, tile_w):
+    """2D tile grid: (k_pix, tile_w, tile_h, grid_w, grid_h, n_tiles).
+
+    ``tile_w`` must be a power of two dividing ``tile``; it is shrunk to
+    the image width's scale for tiny (test) images so the grid stays
+    sensible.
+    """
+    k_pix = -(-k_pix // 8) * 8          # flush-block row alignment
+    if tile_w & (tile_w - 1) or tile % tile_w:
+        raise ValueError(f"tile_w {tile_w} must be a power of two "
+                         f"dividing tile {tile}")
+    while tile_w > 8 and tile_w > nx:
+        tile_w //= 2
+    tile_h = (k_pix * tile) // tile_w
+    grid_w = -(-nx // tile_w)
+    grid_h = -(-ny // tile_h)
+    return k_pix, tile_w, tile_h, grid_w, grid_h, grid_w * grid_h
+
+
+@functools.lru_cache(maxsize=32)
+def _unpack_perm(nx, ny, tile, k_pix, tile_w, tile_h, grid_w, n_tiles):
+    """Pixel -> flat (tile, j, lane) position in the concatenated output."""
+    y, x = np.mgrid[0:ny, 0:nx]
+    g = (y // tile_h) * grid_w + (x // tile_w)
+    loc = (y % tile_h) * tile_w + (x % tile_w)
+    j = loc // tile
+    lane = loc % tile
+    pos = (g * k_pix + j) * tile + lane
+    return jnp.asarray(pos.reshape(-1), jnp.int32)
+
+
 def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          spp, max_depth, t_min, ns, nt, kc, tri_groups,
-                         has_checker, num_pixels=None, total_pixels=None,
-                         spp_total=None, interpret=False, tile=TILE,
-                         k_pix=PIX_PER_LANE, unroll=2):
+                         has_checker, tile0=0, n_tiles=None,
+                         total_pixels=None, spp_total=None,
+                         interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
+                         tile_w=128, unroll=2):
+    """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
+
+    Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
+    assemble an image), per-lane segment counts, and per-lane trip
+    counts.  ``tile0``/``n_tiles`` are the sharding hook: each device
+    renders a contiguous range of tiles with globally-keyed RNG.
+    """
     if not t_min > 0.0:
         raise ValueError(f"clustered megakernel requires t_min > 0")
     if tri.shape[1] > (1 << 14):
         raise ValueError("dense triangle path supports at most 2^14 "
                          "padded triangles")
-    if num_pixels is None:
-        num_pixels = nx * ny
     if total_pixels is None:
         total_pixels = nx * ny
     if spp_total is None:
         spp_total = spp
+    k_pix, tile_w, tile_h, grid_w, grid_h, all_tiles = _tile_geometry(
+        nx, ny, tile, k_pix, tile_w)
+    if n_tiles is None:
+        n_tiles = all_tiles
     if pix0 is None:
-        pix0 = jnp.zeros((1, 2), jnp.int32)
-    n_tiles = max(1, -(-num_pixels // (tile * k_pix)))
+        pix0 = jnp.asarray([[tile0, 0]], jnp.int32)
     lanes = n_tiles * tile
-    k_pix = max(1, -(-num_pixels // lanes))
-    k_pix = -(-k_pix // 8) * 8
     grid = (n_tiles,)
     kernel = functools.partial(
         _mega_clustered_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
-        t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
+        t_min=t_min, tile_w=tile_w, grid_w=grid_w,
+        total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
         unroll=1 if interpret else unroll, tri_groups=tri_groups,
         has_checker=has_checker)
@@ -726,40 +784,47 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         scratch_shapes=[pltpu.VMEM((24, tile), jnp.float32)],
         interpret=interpret,
     )(cam, key, pix0, boxes, sph, mx, tri)
-    # Contiguous-tile unpack: pixel = g*K*T + j*T + lane.
-    g = lanes // tile
-    rad = (rad.reshape(3, k_pix, g, tile).transpose(2, 1, 3, 0)
-           .reshape(-1, 3))
-    return rad[:num_pixels], seg, its
+    return rad, seg, its
 
 
 _mega_clustered_jit = jax.jit(
     _mega_clustered_call,
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
-                     "kc", "tri_groups", "has_checker", "num_pixels",
+                     "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
-                     "k_pix", "unroll"))
+                     "k_pix", "tile_w", "unroll"))
+
+
+@functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
+def _assemble(rad, perm, k_pix, n_tiles, tile):
+    flat = (rad.reshape(3, k_pix, n_tiles, tile).transpose(2, 1, 3, 0)
+            .reshape(-1, 3))
+    return flat[perm]
 
 
 def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  interpret: bool = False, tile: int = TILE,
                                  k_pix: int = PIX_PER_LANE,
+                                 tile_w: int = 128,
                                  return_iters: bool = False,
                                  unroll: int = 2):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
-    off = jnp.zeros((1, 2), jnp.int32)
     rad, seg, its = _mega_clustered_jit(
-        cam, key, off, pack.boxes, pack.sph, pack.sph_mx, pack.tris,
+        cam, key, None, pack.boxes, pack.sph, pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
         kc=pack.clusters, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
-        k_pix=k_pix, unroll=unroll)
+        k_pix=k_pix, tile_w=tile_w, unroll=unroll)
+    kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
+                                                 k_pix, tile_w)
+    perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
+    pix_rad = _assemble(rad, perm, kp, n_tiles, tile)
     if return_iters:
-        return rad, seg[0], its[0, ::tile]
-    return rad, seg[0]
+        return pix_rad, seg[0], its[0, ::tile]
+    return pix_rad, seg[0]
 
 
 def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
@@ -770,12 +835,15 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
     """Mesh-sharded clustered-megakernel render; (ny, nx, 3), top-down.
 
     Data-parallel over the mesh's ``tiles`` axis exactly like
-    ``megakernel.render_image_mega_sharded``: each device renders a
-    contiguous pixel block (the kernel's ``pix0`` offset keeps RNG and
-    camera globally keyed, so the image is bit-identical to the
-    single-device render); cluster tables, boxes and camera replicated;
-    the only collective is the output all-gather implied by the
-    ``P(TILE_AXIS)`` out-spec.
+    ``megakernel.render_image_mega_sharded``, except the unit of
+    distribution is the 2D pixel tile: each device renders a contiguous
+    RANGE of tiles (the kernel's ``tile0`` offset keeps RNG and camera
+    globally keyed, so the image is bit-identical to the single-device
+    render); cluster tables, boxes and camera replicated; the only
+    collective is the output all-gather implied by the ``P(TILE_AXIS)``
+    out-spec.  Devices whose trailing tiles fall past the image render
+    nothing for them (every lane invalid), and the assembly permutation
+    never reads those positions.
     """
     from functools import partial as _partial
 
@@ -792,29 +860,31 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
     key = jnp.asarray(rng.base_key(seed), jnp.uint32).reshape(1, 2)
     cam = _cam_smem(camera)
     n_shards = mesh.shape[TILE_AXIS]
-    total = cfg.num_pixels
-    p_local = -(-total // n_shards)
+    kp, tw, th, gw, gh, all_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
+                                                   k_pix, 128)
+    t_local = -(-all_tiles // n_shards)
 
     @_partial(jax.jit, static_argnames=())
     @_partial(shard_map, mesh=mesh,
               in_specs=(P(), P(), P(), P(), P(), P()),
-              out_specs=P(TILE_AXIS), check_vma=False)
+              out_specs=P(None, TILE_AXIS), check_vma=False)
     def run(cam, key, boxes, sph, mx, tri):
         idx = jax.lax.axis_index(TILE_AXIS)
-        pix0 = jnp.stack([idx * p_local,
+        pix0 = jnp.stack([idx * t_local,
                           jnp.zeros((), jnp.int32)]).reshape(1, 2)
         rad, _, _ = _mega_clustered_call(
             cam, key, pix0, boxes, sph, mx, tri, nx=cfg.nx, ny=cfg.ny,
             spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
             tri_groups=pack.tri_groups, has_checker=pack.has_checker,
-            num_pixels=p_local, total_pixels=total, interpret=interpret,
-            tile=tile, k_pix=k_pix)
+            n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp)
         return rad
 
-    rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx,
-              pack.tris)[:total]
-    img = (rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
+    rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx, pack.tris)
+    g_total = n_shards * t_local
+    perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, all_tiles)
+    pix_rad = _assemble(rad, perm, kp, g_total, tile)
+    img = (pix_rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
     return img[::-1]
 
 

@@ -59,8 +59,8 @@ RAYS_PER_LANE = 8
 
 
 def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
-                   tape_ref, *, nx, ny, spp_total, max_depth, t_min,
-                   num_rays, ns, nt, tile, k_rays, lanes, unroll,
+                   tape_ref, it_ref, *, nx, ny, spp_total, max_depth,
+                   t_min, num_rays, ns, nt, tile, k_rays, lanes, unroll,
                    sph_groups, tri_groups, ns_cap, rpad):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
@@ -87,6 +87,15 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
         integer div lowers to a very slow Mosaic sequence)."""
         return jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
 
+    def _fdiv_exact(a, b_inv, b):
+        """_fdiv plus a one-step remainder correction: exact for any
+        a < 2^24 even when the f32 product's ulp exceeds the +0.5 bias
+        margin (at a ~ 9.6M and b = 10 the margin is 0.05 but the ulp is
+        0.0625 — full-frame ray ids would misdecode their pixel)."""
+        q = _fdiv(a, b_inv, b)
+        r = a - q * b
+        return q - (r < 0).astype(i32) + (r >= b).astype(i32)
+
     def ray_of(s):
         """Grid-stride global ray id for a lane's slot counter."""
         loc = lane + s * L
@@ -97,7 +106,7 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
     def camera_ray(s, ju, jv, lu, lv):
         """Mirrors megakernel.camera_ray with pixel = rid // spp_total."""
         rid, _ = ray_of(s)
-        pixc = _fdiv(rid, 1.0 / spp_total, spp_total)
+        pixc = _fdiv_exact(rid, 1.0 / spp_total, spp_total)
         j_i = _fdiv(pixc, 1.0 / nx, nx)
         j_f = j_i.astype(f32)
         i_f = (pixc - j_i * nx).astype(f32)
@@ -403,7 +412,10 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
             carry = body(carry)
         return carry
 
-    jax.lax.while_loop(cond, body_x, init)
+    final = jax.lax.while_loop(cond, body_x, init)
+    # Per-tile bounce-loop trips (occupancy diagnostics, mirrors the
+    # megakernel's it_ref; host reads one lane per tile).
+    it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
 
 
 def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
@@ -427,7 +439,7 @@ def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
         tile=tile, k_rays=k_rays, lanes=lanes,
         unroll=1 if interpret else unroll, sph_groups=sph_groups,
         tri_groups=tri_groups, ns_cap=ns_cap, rpad=rpad)
-    tape = pl.pallas_call(
+    tape, its = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
@@ -441,9 +453,12 @@ def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
             pl.BlockSpec((tri.shape[0], tri.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((rpad, tile), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rpad, lanes), jnp.float32),
+        out_specs=(pl.BlockSpec((rpad, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, tile), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((rpad, lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((1, lanes), jnp.int32)),
         interpret=interpret,
     )(cam, key, off, sph, mx, tri)
     # (slot*D + d, lane) -> (d, slot*L + lane): the lane's slot s owns
@@ -451,7 +466,7 @@ def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
     tape = tape.astype(jnp.int32)
     tape = (tape[:k_rays * D].reshape(k_rays, D, lanes)
             .transpose(1, 0, 2).reshape(D, k_rays * lanes))
-    return tape[:, :num_rays]
+    return tape[:, :num_rays], its[0, ::tile]
 
 
 _record_jit = jax.jit(
@@ -464,7 +479,8 @@ _record_jit = jax.jit(
 def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
                       num_rays: int = None, spp_total: int = None,
                       interpret: bool = False, tile: int = TILE,
-                      k_rays: int = RAYS_PER_LANE, unroll: int = 2):
+                      k_rays: int = RAYS_PER_LANE, unroll: int = 2,
+                      return_iters: bool = False):
     """(max_depth+1, R) i32 primitive tape for rays ``[ray0, ray0 + R)``.
 
     Drop-in fast producer for ``diff.replay.record_paths`` restricted to a
@@ -473,7 +489,8 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
     ``tape[d, i]`` is the ORIGINAL-scene-order primitive id ray
     ``ray0 + i`` hit at bounce ``d``, or -1 on miss/dead — the exact
     contract of ``record_paths`` (diff/replay.py), so
-    ``trace_rays_replay`` consumes it unchanged.
+    ``trace_rays_replay`` consumes it unchanged.  ``return_iters`` also
+    returns per-tile bounce-loop trip counts (occupancy diagnostics).
     """
     if num_rays is None:
         num_rays = cfg.num_rays
@@ -484,14 +501,17 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     off = jnp.full((1, 1), ray0, jnp.int32)
-    sorted_tape = _record_jit(
+    sorted_tape, its = _record_jit(
         cam, keya, off, pack.spheres, pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         num_rays=num_rays, ns=pack.sphere_rows, nt=pack.tri_rows,
         sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
         interpret=interpret, tile=tile, k_rays=k_rays, unroll=unroll)
-    return _tape_to_scene_ids(sorted_tape, pack)
+    tape = _tape_to_scene_ids(sorted_tape, pack)
+    if return_iters:
+        return tape, its
+    return tape
 
 
 @functools.partial(jax.jit, static_argnames=("ns_cap", "ns", "nt"))

@@ -125,16 +125,26 @@ def stage_gradbench():
     from first_raytracer_tpu.diff.grad import render_loss_and_grads_bucketed
     from first_raytracer_tpu.diff.replay import plan_buckets
 
-    # Recorder lane-load sweep: k_rays trades one-hot tape-write cost
-    # against lane occupancy (a 46-deep path stalls its whole tile; more
-    # rays per lane average it out).
+    # Recorder lane-load sweep with iteration counts: k_rays trades
+    # one-hot tape-write cost against lane occupancy; the per-tile trip
+    # counts separate "too many iterations" from "slow iterations"
+    # (k_rays=64's output block + temporaries exceed scoped VMEM — capped
+    # at 32).
     R = 1 << 17
-    for kr in (8, 32, 64):
+    for kr, ur in ((8, 2), (16, 2), (32, 2), (8, 4)):
         t = _timeit(lambda: record_paths_mega(mpack, cam, cfg, key,
-                                              num_rays=R, k_rays=kr))
-        print(json.dumps(dict(stage="gradbench", check="k_rays_sweep",
-                              R=R, k_rays=kr, rec_s=round(t, 4))),
-              flush=True)
+                                              num_rays=R, k_rays=kr,
+                                              unroll=ur))
+        _, its = record_paths_mega(mpack, cam, cfg, key, num_rays=R,
+                                   k_rays=kr, unroll=ur,
+                                   return_iters=True)
+        its = np.asarray(its, np.int64)
+        print(json.dumps(dict(
+            stage="gradbench", check="k_rays_sweep", R=R, k_rays=kr,
+            unroll=ur, rec_s=round(t, 4), tiles=int(its.size),
+            its_total=int(its.sum()), its_mean=round(float(its.mean()), 1),
+            us_per_tile_it=round(t / max(int(its.sum()), 1) * 1e6, 2),
+        )), flush=True)
 
     for logr in (16, 17):
         R = 1 << logr
