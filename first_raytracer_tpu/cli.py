@@ -185,8 +185,16 @@ def _cmd_fit(args):
         opt = {"adam": optax.adam, "adamw": optax.adamw,
                "rmsprop": optax.rmsprop}[args.opt](args.lr)
         opt_state = opt.init(params)
-        step = make_fit_step(scene, camera, cfg, ids, target, opt,
-                             accel=accel)
+        if getattr(args, "fast", False):
+            # In-kernel tape recorder + depth-bucketed replay per step
+            # (diff/grad.make_fit_step_replay) — the production-throughput
+            # differentiable path.
+            from .diff.grad import make_fit_step_replay
+            step = make_fit_step_replay(scene, camera, cfg, ids, target,
+                                        opt)
+        else:
+            step = make_fit_step(scene, camera, cfg, ids, target, opt,
+                                 accel=accel)
     for i in range(args.steps):
         loss, params, opt_state = step(params, opt_state, key)
         if i % args.log_every == 0 or i == args.steps - 1:
@@ -275,6 +283,11 @@ def main(argv=None):
             sp.add_argument("--steps", type=int, default=60)
             sp.add_argument("--lr", type=float, default=0.8)
             sp.add_argument("--log-every", type=int, default=10)
+            sp.add_argument("--fast", action="store_true",
+                            help="record->replay gradients per step: "
+                                 "in-kernel tape recorder + depth-"
+                                 "bucketed replay (optax optimizers "
+                                 "only)")
             sp.add_argument("--checkpoint", default="")
     args = p.parse_args(argv)
     return args.fn(args)

@@ -36,7 +36,7 @@ from ..render.integrator import RenderConfig, trace_rays
 __all__ = ["DIFF_FIELDS", "split_params", "merge_params", "ray_radiance",
            "render_loss", "render_loss_and_grads",
            "render_loss_and_grads_tape", "render_loss_and_grads_bucketed",
-           "sgd_step", "make_fit_step"]
+           "sgd_step", "make_fit_step", "make_fit_step_replay"]
 
 # The differentiable parameter set named by the north-star [BASELINE.json:5]:
 # material albedo/fuzz/IOR + sphere centers/radii (+ checker secondary color
@@ -188,6 +188,52 @@ def sgd_step(params, scene, camera, cfg, key, ray_ids, target,
     new_params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params,
                                         grads)
     return loss, new_params
+
+
+def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
+                         k_rays: int = 32, max_groups: int = 4,
+                         interpret: bool = False):
+    """Inverse-rendering step on the fast record->replay path.
+
+    Per step: repack the CURRENT scene for the recorder (host, sub-ms at
+    reference scale), record the primitive tape with the in-kernel
+    recorder (kernels/record_mega.py — contiguous ids required), plan
+    depth buckets, and differentiate only the bucketed replay.  The
+    recorder prerequisites fall back gracefully: non-contiguous ids or
+    oversized scenes use the wavefront recorder.
+
+    Returns ``step(params, opt_state, key) -> (loss, params, opt_state)``.
+    """
+    import optax
+
+    ids_np = np.asarray(ray_ids)
+    contiguous = bool((np.diff(ids_np) == 1).all()) if len(ids_np) else True
+    ray0 = int(ids_np[0]) if len(ids_np) else 0
+    use_kernel = (contiguous
+                  and max(scene.num_spheres, scene.num_triangles)
+                  <= (1 << 14))
+
+    def step(params, opt_state, key):
+        s = merge_params(scene, params)
+        if use_kernel:
+            from ..kernels.record_mega import (pack_scene_mega,
+                                               record_paths_mega)
+            tape = record_paths_mega(pack_scene_mega(s), camera, cfg, key,
+                                     ray0=ray0, num_rays=len(ids_np),
+                                     k_rays=k_rays, interpret=interpret)
+        else:
+            from .replay import record_paths
+            cam_u = rng.camera_uniforms(key, ray_ids)
+            o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ray_ids,
+                                 cam_u)
+            tape = record_paths(s, o, d, ray_ids, key, cfg)
+        loss, grads = render_loss_and_grads_bucketed(
+            params, scene, camera, cfg, key, ray_ids, target, tape,
+            max_groups=max_groups)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    return step
 
 
 def make_fit_step(scene, camera, cfg, ray_ids, target, optimizer,
