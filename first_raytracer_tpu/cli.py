@@ -106,6 +106,10 @@ def _cmd_render(args):
                            mode=args.mode)
     dt = time.perf_counter() - t0
     out = args.out or f"{args.preset}.png"
+    if out == "-":
+        # Reference parity: PPM P3 streamed to stdout [E: main.cpp].
+        write_ppm("-", img)
+        return
     os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
     if out.endswith(".ppm"):
         write_ppm(out, img)

@@ -128,25 +128,35 @@ def render_loss_and_grads_tape(params, scene, camera, cfg, key, ray_ids,
     return jax.value_and_grad(loss)(params)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _loss_grads_groups(params, scene, camera, cfg, key, groups, denom):
-    """value+grad of the bucketed replay loss.
+@partial(jax.jit, static_argnames=("cfg", "groups"))
+def _loss_grads_planned(params, scene, camera, cfg, key, ray_ids, target,
+                        tape, order, groups):
+    """value+grad of the bucketed replay loss, as ONE XLA program.
 
-    ``groups`` is a tuple of (ids_g, target_g, tape_g) with per-group
-    trip counts carried by the tape shapes (static: jit re-traces once
-    per bucket-shape combination, which ``plan_buckets`` bounds by
-    rounding trips to powers of two)."""
+    The depth-sort permutation and the static group slicing happen inside
+    the jit: under the axon tunnel every separate program launch costs
+    ~10-30 ms, which dominated the whole gradient step when the prep ops
+    ran un-jitted (gradbench r4).  ``groups`` is the static
+    ((start, size, trips), ...) plan; jit re-traces once per bucket-shape
+    combination, which ``plan_buckets`` bounds by rounding trips to
+    powers of two."""
+    ids_s = jnp.asarray(ray_ids)[order]
+    target_s = jnp.asarray(target)[order]
+    tape_s = tape[:, order]
+
     def loss(params):
         s = merge_params(scene, params)
         from .replay import trace_rays_replay
         total = jnp.float32(0.0)
-        for ids_g, target_g, tape_g in groups:
+        for g0, n, trips in groups:
+            ids_g = ids_s[g0:g0 + n]
             cam_u = rng.camera_uniforms(key, ids_g)
             o, d = generate_rays(camera, cfg.nx, cfg.ny, cfg.spp, ids_g,
                                  cam_u)
-            rad = trace_rays_replay(s, o, d, ids_g, key, cfg, tape_g)
-            total = total + jnp.sum((rad - target_g) ** 2)
-        return total / denom
+            rad = trace_rays_replay(s, o, d, ids_g, key, cfg,
+                                    tape_s[:trips, g0:g0 + n])
+            total = total + jnp.sum((rad - target_s[g0:g0 + n]) ** 2)
+        return total / jnp.float32(target.shape[0] * target.shape[1])
 
     return jax.value_and_grad(loss)(params)
 
@@ -167,15 +177,8 @@ def render_loss_and_grads_bucketed(params, scene, camera, cfg, key,
     if plan is None:
         plan = plan_buckets(tape, max_groups)
     order, groups = plan
-    ids_s = jnp.asarray(ray_ids)[order]
-    target_s = jnp.asarray(target)[order]
-    tape_s = tape[:, order]
-    parts = tuple(
-        (ids_s[s:s + n], target_s[s:s + n], tape_s[:trips, s:s + n])
-        for s, n, trips in groups)
-    denom = jnp.float32(np.prod(np.asarray(target).shape))
-    return _loss_grads_groups(params, scene, camera, cfg, key, parts,
-                              denom)
+    return _loss_grads_planned(params, scene, camera, cfg, key, ray_ids,
+                               target, tape, order, groups)
 
 
 @partial(jax.jit, static_argnames=("cfg", "intersect_fn", "lr"))

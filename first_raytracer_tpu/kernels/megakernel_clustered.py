@@ -101,13 +101,19 @@ class MegaClusteredPack:
     clusters: int        # KC (true, unpadded — table is exactly KC*128)
     tri_groups: tuple
     has_checker: bool
+    # Phase-1 margin (scene units): clusters whose box overlaps the
+    # tile's ray-origin box inflated by this are swept FIRST each
+    # iteration (scalar-cheap test), tightening every lane's best t
+    # before the per-lane slab gates run on the rest.  Default: half the
+    # median cluster extent.
+    phase1_margin: float = 0.0
 
 
 jax.tree_util.register_dataclass(
     MegaClusteredPack,
     data_fields=("sph", "sph_mx", "boxes", "tris"),
     meta_fields=("sphere_rows", "tri_rows", "clusters", "tri_groups",
-                 "has_checker"))
+                 "has_checker", "phase1_margin"))
 
 
 def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
@@ -218,11 +224,16 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
         tri[6:9, :nt] = e2.T
         tri[9:12, :nt] = n.T
         tri[12:20, :nt] = mat_rows(np.asarray(s.tri_mat)[order])
+    margin = 0.0
+    if ns and kc > 1:
+        ext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
+        margin = float(np.median(ext[ext > 0]) * 0.5) if (ext > 0).any() \
+            else 0.0
     return MegaClusteredPack(
         sph=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
         boxes=jnp.asarray(boxes_np), tris=jnp.asarray(tri),
         sphere_rows=ns, tri_rows=nt, clusters=kc, tri_groups=tri_groups,
-        has_checker=has_checker)
+        has_checker=has_checker, phase1_margin=margin)
 
 
 def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
@@ -230,7 +241,8 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                            acc_ref, *,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
                            total_pixels, spp_total, ns, nt, kc, tile,
-                           k_pix, unroll, tri_groups, has_checker):
+                           k_pix, unroll, tri_groups, has_checker,
+                           margin):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -361,11 +373,35 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
             # row 0 = best t, rows 1..16 = the winner's 16 payload rows.
             acc_ref[0:1, :] = jnp.full((1, T), f32(_BIG))
             acc_ref[1:17, :] = jnp.zeros((16, T), f32)
-            for kcl in range(kc):
-                mnx, mny, mnz = (box_ref[kcl, 0], box_ref[kcl, 1],
-                                 box_ref[kcl, 2])
-                mxx, mxy, mxz = (box_ref[kcl, 3], box_ref[kcl, 4],
-                                 box_ref[kcl, 5])
+
+            # Tile ray-origin bounding box (scalars; lane reductions).
+            # Stale origins of finished lanes and regenerated camera
+            # origins only inflate it — conservative.
+            obx0, obx1 = jnp.min(ox), jnp.max(ox)
+            oby0, oby1 = jnp.min(oy), jnp.max(oy)
+            obz0, obz1 = jnp.min(oz), jnp.max(oz)
+
+            def cluster_box(kcl):
+                return (box_ref[kcl, 0], box_ref[kcl, 1], box_ref[kcl, 2],
+                        box_ref[kcl, 3], box_ref[kcl, 4], box_ref[kcl, 5])
+
+            def near_origin(kcl):
+                """Scalar: cluster box overlaps the (margin-inflated)
+                origin box.  Phase 1 sweeps these first, so every lane
+                that hits nearby (the common case — bounce origins sit on
+                surfaces inside some cluster) enters phase 2 with a tight
+                best-t.  With 512 isotropic bounce rays per tile, the
+                per-lane slab gates alone almost never skip (any cluster
+                with >=1/512 per-ray probability fires); the tight t is
+                what makes them selective."""
+                mnx, mny, mnz, mxx, mxy, mxz = cluster_box(kcl)
+                m = f32(margin)
+                return ((mnx <= obx1 + m) & (mxx >= obx0 - m)
+                        & (mny <= oby1 + m) & (mxy >= oby0 - m)
+                        & (mnz <= obz1 + m) & (mxz >= obz0 - m))
+
+            def slab_gate(kcl):
+                mnx, mny, mnz, mxx, mxy, mxz = cluster_box(kcl)
                 t0x, t1x = (mnx - ox) * ivx, (mxx - ox) * ivx
                 t0y, t1y = (mny - oy) * ivy, (mxy - oy) * ivy
                 t0z, t1z = (mnz - oz) * ivz, (mxz - oz) * ivz
@@ -377,13 +413,16 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                                   jnp.maximum(t0z, t1z))
                 gate = active & (jnp.maximum(near, t_min)
                                  <= jnp.minimum(far, acc_ref[0:1, :]))
+                return jnp.any(gate)
+
+            # The sweep runs for the whole tile when ANY lane wants this
+            # cluster; the fold stays per-lane correct because a
+            # non-gated lane can only be improved by a real closer hit
+            # (its own slab interval just proved there is none, so
+            # `better` is false for it).
+            def make_sweep(kcl):
                 j0 = kcl * _LANE
 
-                # The sweep runs for the whole tile when ANY lane wants
-                # this cluster; the fold stays per-lane correct because a
-                # non-gated lane can only be improved by a real closer
-                # hit (its own slab interval just proved there is none,
-                # so `better` is false for it).
                 def _sweep(j0=j0):
                     cx = mx_ref[j0:j0 + _LANE, 0:1]
                     cy = mx_ref[j0:j0 + _LANE, 1:2]
@@ -417,10 +456,20 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                     acc_ref[1:17, :] = jnp.where(better, ext,
                                                  acc_ref[1:17, :])
 
-                if kc == 1:
-                    _sweep()            # single cluster: gate is pointless
-                else:
-                    pl.when(jnp.any(gate))(_sweep)
+                return _sweep
+
+            if kc == 1:
+                make_sweep(0)()     # single cluster: gates are pointless
+            else:
+                # Phase 1: origin-adjacent clusters (scalar predicate).
+                nears = [near_origin(kcl) for kcl in range(kc)]
+                for kcl in range(kc):
+                    pl.when(nears[kcl])(make_sweep(kcl))
+                # Phase 2: everything else, slab-gated against the
+                # now-tight per-lane best t.
+                for kcl in range(kc):
+                    pl.when(jnp.logical_not(nears[kcl])
+                            & slab_gate(kcl))(make_sweep(kcl))
             t_s = acc_ref[0:1, :]
             (scx, scy, scz, _, sparam, sa0r, sa0g, sa0b, sa1r, sa1g, sa1b,
              sscale, _, smtype, stextype, sinvr) = [
@@ -721,7 +770,7 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          has_checker, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
-                         tile_w=128, unroll=2):
+                         tile_w=128, unroll=2, margin=0.0):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
     Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
@@ -752,7 +801,7 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
         unroll=1 if interpret else unroll, tri_groups=tri_groups,
-        has_checker=has_checker)
+        has_checker=has_checker, margin=margin)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
@@ -792,7 +841,7 @@ _mega_clustered_jit = jax.jit(
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
-                     "k_pix", "tile_w", "unroll"))
+                     "k_pix", "tile_w", "unroll", "margin"))
 
 
 @functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
@@ -817,7 +866,8 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
         kc=pack.clusters, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
-        k_pix=k_pix, tile_w=tile_w, unroll=unroll)
+        k_pix=k_pix, tile_w=tile_w, unroll=unroll,
+        margin=pack.phase1_margin)
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
     perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
@@ -877,7 +927,8 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
             spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
             tri_groups=pack.tri_groups, has_checker=pack.has_checker,
-            n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp)
+            n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
+            margin=pack.phase1_margin)
         return rad
 
     rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx, pack.tris)

@@ -418,9 +418,9 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
     it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
 
 
-def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
-                 max_depth, t_min, num_rays, ns, nt, sph_groups,
-                 tri_groups, interpret=False, tile=TILE,
+def _record_call(cam, key, off, sph, mx, tri, sph_order, tri_order, *,
+                 nx, ny, spp_total, max_depth, t_min, num_rays, ns, nt,
+                 sph_groups, tri_groups, interpret=False, tile=TILE,
                  k_rays=RAYS_PER_LANE, unroll=2):
     if not t_min > 0.0:
         raise ValueError(f"recorder requires t_min > 0, got {t_min}")
@@ -462,11 +462,22 @@ def _record_call(cam, key, off, sph, mx, tri, *, nx, ny, spp_total,
         interpret=interpret,
     )(cam, key, off, sph, mx, tri)
     # (slot*D + d, lane) -> (d, slot*L + lane): the lane's slot s owns
-    # global ray  ray0 + s*L + lane.
+    # global ray  ray0 + s*L + lane.  The sorted->scene id mapping is
+    # fused here so one XLA program covers record + postprocess — under
+    # the axon tunnel every extra program launch costs ~10-30 ms, which
+    # dominated the whole record pass (gradbench r4).
     tape = tape.astype(jnp.int32)
     tape = (tape[:k_rays * D].reshape(k_rays, D, lanes)
-            .transpose(1, 0, 2).reshape(D, k_rays * lanes))
-    return tape[:, :num_rays], its[0, ::tile]
+            .transpose(1, 0, 2).reshape(D, k_rays * lanes))[:, :num_rays]
+    sid = tape - 1
+    is_t = sid >= ns_cap
+    sph_part = (sph_order[jnp.clip(sid, 0, max(ns - 1, 0))]
+                if ns else jnp.zeros_like(sid))
+    tri_part = (ns + tri_order[jnp.clip(sid - ns_cap, 0, max(nt - 1, 0))]
+                if nt else jnp.zeros_like(sid))
+    mapped = jnp.where(tape == 0, -1,
+                       jnp.where(is_t, tri_part, sph_part))
+    return mapped, its[0, ::tile]
 
 
 _record_jit = jax.jit(
@@ -501,33 +512,16 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     off = jnp.full((1, 1), ray0, jnp.int32)
-    sorted_tape, its = _record_jit(
+    tape, its = _record_jit(
         cam, keya, off, pack.spheres, pack.sph_mx, pack.tris,
+        pack.sph_order, pack.tri_order,
         nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         num_rays=num_rays, ns=pack.sphere_rows, nt=pack.tri_rows,
         sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
         interpret=interpret, tile=tile, k_rays=k_rays, unroll=unroll)
-    tape = _tape_to_scene_ids(sorted_tape, pack)
     if return_iters:
         return tape, its
     return tape
 
 
-@functools.partial(jax.jit, static_argnames=("ns_cap", "ns", "nt"))
-def _map_ids(sorted_tape, sph_order, tri_order, ns_cap, ns, nt):
-    sid = sorted_tape - 1
-    is_t = sid >= ns_cap
-    sph_part = (sph_order[jnp.clip(sid, 0, max(ns - 1, 0))]
-                if ns else jnp.zeros_like(sid))
-    tri_part = (ns + tri_order[jnp.clip(sid - ns_cap, 0, max(nt - 1, 0))]
-                if nt else jnp.zeros_like(sid))
-    return jnp.where(sorted_tape == 0, -1,
-                     jnp.where(is_t, tri_part, sph_part))
-
-
-def _tape_to_scene_ids(sorted_tape, pack: MegaScenePack):
-    """Map the kernel's group-sorted winner ids to original scene ids."""
-    return _map_ids(sorted_tape, pack.sph_order, pack.tri_order,
-                    ns_cap=pack.spheres.shape[1], ns=pack.sphere_rows,
-                    nt=pack.tri_rows)

@@ -31,10 +31,19 @@ def to_uint8(img, gamma: bool = True):
 
 
 def write_ppm(path, img, gamma: bool = True):
-    """Plain-text PPM ``P3``, the reference's output format [E: main.cpp]."""
+    """Plain-text PPM ``P3``, the reference's output format [E: main.cpp].
+
+    ``path="-"`` streams to stdout, matching the reference's
+    ``main() -> std::cout`` pipeline (``./a.out > image.ppm``).
+    """
+    import contextlib
+    import sys
+
     q = to_uint8(img, gamma=gamma)
     ny, nx, _ = q.shape
-    with open(path, "w") as f:
+    ctx = (contextlib.nullcontext(sys.stdout) if path == "-"
+           else open(path, "w"))
+    with ctx as f:
         f.write(f"P3\n{nx} {ny}\n255\n")
         for row in q:
             f.write("\n".join(f"{r} {g} {b}" for r, g, b in row))
