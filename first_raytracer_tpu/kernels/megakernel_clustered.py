@@ -374,12 +374,19 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
             acc_ref[0:1, :] = jnp.full((1, T), f32(_BIG))
             acc_ref[1:17, :] = jnp.zeros((16, T), f32)
 
-            # Tile ray-origin bounding box (scalars; lane reductions).
-            # Stale origins of finished lanes and regenerated camera
-            # origins only inflate it — conservative.
-            obx0, obx1 = jnp.min(ox), jnp.max(ox)
-            oby0, oby1 = jnp.min(oy), jnp.max(oy)
-            obz0, obz1 = jnp.min(oz), jnp.max(oz)
+            # Tile BOUNCE-origin bounding box (scalars; lane reductions).
+            # Depth-0 lanes are excluded: their origin is the camera,
+            # which would stretch the box into a camera-to-footprint
+            # corridor and sweep every cluster along it (camera rays are
+            # handled fine by the slab gates).  An empty box (no bounce
+            # lanes) inverts min/max and phase 1 selects nothing.
+            bmask = active & (depth > 0)
+            obx0 = jnp.min(jnp.where(bmask, ox, f32(_BIG)))
+            obx1 = jnp.max(jnp.where(bmask, ox, f32(-_BIG)))
+            oby0 = jnp.min(jnp.where(bmask, oy, f32(_BIG)))
+            oby1 = jnp.max(jnp.where(bmask, oy, f32(-_BIG)))
+            obz0 = jnp.min(jnp.where(bmask, oz, f32(_BIG)))
+            obz1 = jnp.max(jnp.where(bmask, oz, f32(-_BIG)))
 
             def cluster_box(kcl):
                 return (box_ref[kcl, 0], box_ref[kcl, 1], box_ref[kcl, 2],

@@ -61,7 +61,7 @@ RAYS_PER_LANE = 8
 def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
                    tape_ref, it_ref, *, nx, ny, spp_total, max_depth,
                    t_min, num_rays, ns, nt, tile, k_rays, lanes, unroll,
-                   sph_groups, tri_groups, ns_cap, rpad):
+                   sph_groups, tri_groups, ns_cap, rpad, skip_write):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_rays
@@ -144,7 +144,8 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
     if nt:
         idx_bits_t = max((nt_pad - 1).bit_length(), 1)
         iota_t = jax.lax.broadcasted_iota(i32, (nt_pad, T), 0)
-    iota_r = jax.lax.broadcasted_iota(i32, (rpad, T), 0)
+    iota_r = None if skip_write else jax.lax.broadcasted_iota(
+        i32, (rpad, T), 0)
 
     def packed_min(tall, iota, idx_bits):
         hi = jnp.int32(-(1 << idx_bits))
@@ -316,10 +317,11 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
         # += lands exactly one nonzero per write — never a scatter, same
         # pattern as the megakernel's pixel flush.  0 = miss/dead (mapped
         # to -1 on the host), else packed winner + 1 (f32-exact: < 2^14+1).
-        row = sampc * D + depth
-        val = jnp.where(hit, (packed + 1).astype(f32), 0.0)
-        ohw = (iota_r == row).astype(f32)
-        tape_ref[:, :] = tape_ref[:, :] + ohw * val
+        if not skip_write:
+            row = sampc * D + depth
+            val = jnp.where(hit, (packed + 1).astype(f32), 0.0)
+            ohw = (iota_r == row).astype(f32)
+            tape_ref[:, :] = tape_ref[:, :] + ohw * val
 
         # ---- scatter direction (megakernel's, minus attenuation) ----
         bz = 1.0 - 2.0 * u1
@@ -421,7 +423,7 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
 def _record_call(cam, key, off, sph, mx, tri, sph_order, tri_order, *,
                  nx, ny, spp_total, max_depth, t_min, num_rays, ns, nt,
                  sph_groups, tri_groups, interpret=False, tile=TILE,
-                 k_rays=RAYS_PER_LANE, unroll=2):
+                 k_rays=RAYS_PER_LANE, unroll=2, skip_write=False):
     if not t_min > 0.0:
         raise ValueError(f"recorder requires t_min > 0, got {t_min}")
     if max(sph.shape[1], tri.shape[1]) > (1 << 14):
@@ -438,7 +440,8 @@ def _record_call(cam, key, off, sph, mx, tri, sph_order, tri_order, *,
         max_depth=max_depth, t_min=t_min, num_rays=num_rays, ns=ns, nt=nt,
         tile=tile, k_rays=k_rays, lanes=lanes,
         unroll=1 if interpret else unroll, sph_groups=sph_groups,
-        tri_groups=tri_groups, ns_cap=ns_cap, rpad=rpad)
+        tri_groups=tri_groups, ns_cap=ns_cap, rpad=rpad,
+        skip_write=skip_write)
     tape, its = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -484,14 +487,16 @@ _record_jit = jax.jit(
     _record_call,
     static_argnames=("nx", "ny", "spp_total", "max_depth", "t_min",
                      "num_rays", "ns", "nt", "sph_groups", "tri_groups",
-                     "interpret", "tile", "k_rays", "unroll"))
+                     "interpret", "tile", "k_rays", "unroll",
+                     "skip_write"))
 
 
 def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
                       num_rays: int = None, spp_total: int = None,
                       interpret: bool = False, tile: int = TILE,
                       k_rays: int = RAYS_PER_LANE, unroll: int = 2,
-                      return_iters: bool = False):
+                      return_iters: bool = False,
+                      skip_write: bool = False):
     """(max_depth+1, R) i32 primitive tape for rays ``[ray0, ray0 + R)``.
 
     Drop-in fast producer for ``diff.replay.record_paths`` restricted to a
@@ -519,7 +524,8 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         num_rays=num_rays, ns=pack.sphere_rows, nt=pack.tri_rows,
         sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
-        interpret=interpret, tile=tile, k_rays=k_rays, unroll=unroll)
+        interpret=interpret, tile=tile, k_rays=k_rays, unroll=unroll,
+        skip_write=skip_write)
     if return_iters:
         return tape, its
     return tape

@@ -125,12 +125,36 @@ def stage_gradbench():
     from first_raytracer_tpu.diff.grad import render_loss_and_grads_bucketed
     from first_raytracer_tpu.diff.replay import plan_buckets
 
+    # Baseline probe: the DENSE megakernel's per-tile-iteration cost on
+    # the same scene (its counter x bench seconds) — the recorder should
+    # match it per iteration; r4 measurements say it doesn't (~8x), and
+    # this plus the skip_write variant isolate where the time goes.
+    from first_raytracer_tpu.kernels.megakernel import (
+        pack_scene_mega as _psm_dense, render_pixels_mega)
+    dpack = _psm_dense(scene)
+    t_mega = _timeit(lambda: render_pixels_mega(dpack, cam, cfg, key))
+    _, _, mits = render_pixels_mega(dpack, cam, cfg, key,
+                                    return_iters=True)
+    mits = np.asarray(mits, np.int64)
+    print(json.dumps(dict(stage="gradbench", check="mega_its",
+                          seconds=round(t_mega, 4),
+                          its_total=int(mits.sum()),
+                          us_per_tile_it=round(
+                              t_mega / max(int(mits.sum()), 1) * 1e6, 2))),
+          flush=True)
+
+    R = 1 << 17
+    t_nw = _timeit(lambda: record_paths_mega(mpack, cam, cfg, key,
+                                             num_rays=R, k_rays=8,
+                                             skip_write=True))
+    print(json.dumps(dict(stage="gradbench", check="rec_skip_write",
+                          R=R, rec_s=round(t_nw, 4))), flush=True)
+
     # Recorder lane-load sweep with iteration counts: k_rays trades
     # one-hot tape-write cost against lane occupancy; the per-tile trip
     # counts separate "too many iterations" from "slow iterations"
     # (k_rays=64's output block + temporaries exceed scoped VMEM — capped
     # at 32).
-    R = 1 << 17
     for kr, ur in ((8, 2), (16, 2), (32, 2), (8, 4)):
         t = _timeit(lambda: record_paths_mega(mpack, cam, cfg, key,
                                               num_rays=R, k_rays=kr,
