@@ -182,7 +182,9 @@ def main():
         # =scan selects round 2's direct reverse-mode scan for comparison.
         from first_raytracer_tpu.diff.grad import (render_loss_and_grads,
                                                    split_params)
-        total = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 16))
+        # Default batch 2^17: measured r4 sweet spot — large enough to
+        # amortize the per-step launch latency the pipeline can't hide.
+        total = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 17))
         method = os.environ.get("BENCH_GRAD_METHOD", "replay")
         ids = jnp.arange(total, dtype=jnp.int32)
         params, _ = split_params(scene)
