@@ -242,7 +242,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
                            total_pixels, spp_total, ns, nt, kc, tile,
                            k_pix, unroll, tri_groups, has_checker,
-                           margin):
+                           margin, gate_mode):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -465,10 +465,15 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
 
                 return _sweep
 
-            if kc == 1:
-                make_sweep(0)()     # single cluster: gates are pointless
+            if kc == 1 or gate_mode == "all":
+                for kcl in range(kc):
+                    make_sweep(kcl)()   # ungated: cost baseline / 1 cluster
+            elif gate_mode == "slab":
+                for kcl in range(kc):
+                    pl.when(slab_gate(kcl))(make_sweep(kcl))
             else:
-                # Phase 1: origin-adjacent clusters (scalar predicate).
+                # Phase 1: bounce-origin-adjacent clusters (scalar
+                # predicate).
                 nears = [near_origin(kcl) for kcl in range(kc)]
                 for kcl in range(kc):
                     pl.when(nears[kcl])(make_sweep(kcl))
@@ -777,7 +782,8 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          has_checker, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
-                         tile_w=128, unroll=2, margin=0.0):
+                         tile_w=128, unroll=2, margin=0.0,
+                         gate_mode="two"):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
     Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
@@ -808,7 +814,7 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
         unroll=1 if interpret else unroll, tri_groups=tri_groups,
-        has_checker=has_checker, margin=margin)
+        has_checker=has_checker, margin=margin, gate_mode=gate_mode)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
@@ -848,7 +854,7 @@ _mega_clustered_jit = jax.jit(
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
-                     "k_pix", "tile_w", "unroll", "margin"))
+                     "k_pix", "tile_w", "unroll", "margin", "gate_mode"))
 
 
 @functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
@@ -863,7 +869,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  k_pix: int = PIX_PER_LANE,
                                  tile_w: int = 128,
                                  return_iters: bool = False,
-                                 unroll: int = 2):
+                                 unroll: int = 2, gate_mode: str = "two"):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
@@ -874,7 +880,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
         kc=pack.clusters, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
         k_pix=k_pix, tile_w=tile_w, unroll=unroll,
-        margin=pack.phase1_margin)
+        margin=pack.phase1_margin, gate_mode=gate_mode)
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
     perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)

@@ -238,18 +238,25 @@ def stage_fieldbench():
             json.dump({"device": str(jax.devices()[0]), "rows": rows}, f,
                       indent=1)
 
-    for name, (scene, cam, cfg) in [
-            ("random500", random_scene()),
-            ("field5000", sphere_field(n=5000)),
-            ("field20000", sphere_field(n=20000))]:
+    # (scene, gate modes to measure): the mode sweep on field5000
+    # decomposes gating cost vs benefit — "all" is the no-gate cost
+    # baseline, "slab" the single-phase per-cluster any-gates, "two" the
+    # bounce-origin-box phase split.
+    cases = [("random500", random_scene(), ("two",)),
+             ("field5000", sphere_field(n=5000), ("all", "slab", "two")),
+             ("field20000", sphere_field(n=20000), ("slab", "two"))]
+    for name, (scene, cam, cfg), modes in cases:
+      for mode in modes:
         cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
         rad, seg, its = render_pixels_mega_clustered(
-            cpak, cam, cfg, key, return_iters=True)  # compile + warm
-        t = _timeit(lambda: render_pixels_mega_clustered(cpak, cam, cfg,
-                                                         key))
+            cpak, cam, cfg, key, return_iters=True,
+            gate_mode=mode)  # compile + warm
+        t = _timeit(lambda: render_pixels_mega_clustered(
+            cpak, cam, cfg, key, gate_mode=mode))
         segs = int(np.asarray(seg, np.int64).sum())
         occ = segs / max(int(np.asarray(its, np.int64).sum()) * 512, 1)
         row = dict(stage="fieldbench", scene=name, kernel="mega-clustered",
+                   gate_mode=mode,
                    clusters=cpak.clusters, seconds=round(t, 4),
                    mpaths=round(cfg.num_rays / t / 1e6, 2),
                    mrays=round(segs / t / 1e6, 2),
