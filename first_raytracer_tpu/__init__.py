@@ -12,7 +12,7 @@ from .render.integrator import RenderConfig
 from .scene.builders import PRESETS, build_preset
 from .scene.soa import Scene, SceneBuilder
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Camera", "make_camera", "RenderConfig", "Scene", "SceneBuilder",
