@@ -242,8 +242,11 @@ def stage_fieldbench():
     # decomposes gating cost vs benefit — "all" is the no-gate cost
     # baseline, "slab" the single-phase per-cluster any-gates, "two" the
     # bounce-origin-box phase split.
-    cases = [("random500", random_scene(), ("two",)),
-             ("field5000", sphere_field(n=5000), ("all", "slab", "two")),
+    # "all" (ungated) fails to COMPILE past ~8 clusters: without pl.when
+    # scoping, Mosaic stacks every cluster sweep's temporaries (55.9 MB
+    # scoped VMEM at 65 clusters) — the gates also bound live ranges.
+    cases = [("random500", random_scene(), ("slab",)),
+             ("field5000", sphere_field(n=5000), ("slab", "two")),
              ("field20000", sphere_field(n=20000), ("slab", "two"))]
     for name, (scene, cam, cfg), modes in cases:
       for mode in modes:
