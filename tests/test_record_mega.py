@@ -107,3 +107,23 @@ def test_replay_consumes_recorder_tape():
     for k in g1:
         np.testing.assert_allclose(np.asarray(g1[k]), np.asarray(g2[k]),
                                    rtol=1e-4, atol=1e-6, err_msg=k)
+
+
+def test_recorder_exact_pixel_decode_at_large_ray_ids():
+    """Full-frame ray ids reach ~10M, where a plain f32 reciprocal decode
+    of rid // spp is one ulp from misdecoding the pixel (the recorder
+    uses a remainder-corrected floor-div).  Record a slice high in the id
+    space of a full-size config and compare against the wavefront
+    recorder at the same ids."""
+    from first_raytracer_tpu.scene.builders import random_scene as _rs
+
+    scene, cam, cfg = _rs()          # 1200x800 @ 10spp: ids up to 9.6M
+    key = rng.base_key(0)
+    ray0, n = 9_500_000, 512
+    ids = jnp.arange(ray0, ray0 + n, dtype=jnp.int32)
+    ref = _wavefront_tape(scene, cam, cfg, key, ids)
+    pack = pack_scene_mega(scene)
+    got = np.asarray(record_paths_mega(pack, cam, cfg, key, ray0=ray0,
+                                       num_rays=n, interpret=True))
+    agree = (got == ref).mean()
+    assert agree > 0.999, f"tape agreement {agree:.4%} at large ray ids"
