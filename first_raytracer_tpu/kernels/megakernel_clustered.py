@@ -242,14 +242,14 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
                            total_pixels, spp_total, ns, nt, kc, tile,
                            k_pix, unroll, tri_groups, has_checker,
-                           margin, gate_mode):
+                           margin, gate_mode, mapping, lanes_total):
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
     S = K * spp
     TW = tile_w
     TH = (K * T) // TW
-    # Global 2D tile position (t0 offsets the tile index for sharding);
+    # Global tile position (t0 offsets the tile index for sharding);
     # scalar arithmetic, once per grid step.
     g = pix0_ref[0, 0] + pl.program_id(0)
     gy = g // grid_w
@@ -257,6 +257,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
     x0 = gx * TW
     y0 = gy * TH
     lane = jax.lax.broadcasted_iota(i32, (1, T), 1)   # tile-local
+    lane_glob = g * T + lane                           # stride mapping
     spp0 = pix0_ref[0, 1]
     k0 = key_ref[0, 0]
     k1 = key_ref[0, 1]
@@ -273,13 +274,24 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
         return jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
 
     def pixel_of(s):
-        """2D-rectangle pixel for a lane's sample counter: the tile owns
-        the pixel rect [x0, x0+TW) x [y0, y0+TH); within-tile linear
-        index ``loc = j*T + lane`` walks the rect row-major.  Lane l's
-        within-tile x is fixed (T is a multiple of TW), its y grows with
-        j — so validity is monotone in j, which the regeneration logic
-        relies on."""
-        loc = lane + _fdiv(s, 1.0 / spp, spp) * T
+        """Lane's pixel for a sample counter, by mapping:
+
+        - ``stride`` (default): the dense megakernel's image-wide grid
+          stride ``pix = g*T + lane + j*lanes_total`` — best lane
+          occupancy (long paths decorrelate); measured the right trade
+          since tile-granular culling saturates under isotropic bounce
+          directions (ROADMAP r4) and the gates then only scope compile
+          temporaries.
+        - ``rect``: a 2D tile_w x tile_h pixel rectangle — the coherent
+          mapping that makes the gates fire, kept for scenes/regimes
+          where culling wins.  Validity is monotone in j in both
+          mappings (the regeneration logic relies on it)."""
+        j = _fdiv(s, 1.0 / spp, spp)
+        if mapping == "stride":
+            pix = lane_glob + j * lanes_total
+            valid = pix < total_pixels
+            return jnp.minimum(pix, total_pixels - 1), valid
+        loc = lane + j * T
         yin = _fdiv(loc, 1.0 / TW, TW)
         xin = loc - yin * TW
         x = x0 + xin
@@ -767,7 +779,7 @@ def _tile_geometry(nx, ny, tile, k_pix, tile_w):
 
 @functools.lru_cache(maxsize=32)
 def _unpack_perm(nx, ny, tile, k_pix, tile_w, tile_h, grid_w, n_tiles):
-    """Pixel -> flat (tile, j, lane) position in the concatenated output."""
+    """rect: pixel -> flat (tile, j, lane) position in the output."""
     y, x = np.mgrid[0:ny, 0:nx]
     g = (y // tile_h) * grid_w + (x // tile_w)
     loc = (y % tile_h) * tile_w + (x % tile_w)
@@ -777,13 +789,26 @@ def _unpack_perm(nx, ny, tile, k_pix, tile_w, tile_h, grid_w, n_tiles):
     return jnp.asarray(pos.reshape(-1), jnp.int32)
 
 
+@functools.lru_cache(maxsize=32)
+def _unpack_perm_stride(total_pixels, tile, k_pix, lanes_total):
+    """stride: pixel -> flat position; pix = g*T + lane + j*L."""
+    pix = np.arange(total_pixels, dtype=np.int64)
+    j = pix // lanes_total
+    lane_glob = pix % lanes_total
+    g = lane_glob // tile
+    lane = lane_glob % tile
+    pos = (g * k_pix + j) * tile + lane
+    return jnp.asarray(pos, jnp.int32)
+
+
 def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          spp, max_depth, t_min, ns, nt, kc, tri_groups,
                          has_checker, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
                          tile_w=128, unroll=2, margin=0.0,
-                         gate_mode="two"):
+                         gate_mode="slab", mapping="stride",
+                         lanes_total=None):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
     Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
@@ -802,8 +827,12 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         spp_total = spp
     k_pix, tile_w, tile_h, grid_w, grid_h, all_tiles = _tile_geometry(
         nx, ny, tile, k_pix, tile_w)
+    if mapping == "stride":
+        all_tiles = max(1, -(-total_pixels // (tile * k_pix)))
     if n_tiles is None:
         n_tiles = all_tiles
+    if lanes_total is None:
+        lanes_total = all_tiles * tile
     if pix0 is None:
         pix0 = jnp.asarray([[tile0, 0]], jnp.int32)
     lanes = n_tiles * tile
@@ -814,7 +843,8 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
         unroll=1 if interpret else unroll, tri_groups=tri_groups,
-        has_checker=has_checker, margin=margin, gate_mode=gate_mode)
+        has_checker=has_checker, margin=margin, gate_mode=gate_mode,
+        mapping=mapping, lanes_total=lanes_total)
     rad, seg, its = pl.pallas_call(
         kernel,
         grid=grid,
@@ -854,7 +884,8 @@ _mega_clustered_jit = jax.jit(
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
-                     "k_pix", "tile_w", "unroll", "margin", "gate_mode"))
+                     "k_pix", "tile_w", "unroll", "margin", "gate_mode",
+                     "mapping", "lanes_total"))
 
 
 @functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
@@ -869,7 +900,8 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  k_pix: int = PIX_PER_LANE,
                                  tile_w: int = 128,
                                  return_iters: bool = False,
-                                 unroll: int = 2, gate_mode: str = "two"):
+                                 unroll: int = 2, gate_mode: str = "slab",
+                                 mapping: str = "stride"):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
@@ -880,10 +912,15 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
         kc=pack.clusters, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
         k_pix=k_pix, tile_w=tile_w, unroll=unroll,
-        margin=pack.phase1_margin, gate_mode=gate_mode)
+        margin=pack.phase1_margin, gate_mode=gate_mode, mapping=mapping)
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
-    perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
+    total = cfg.num_pixels
+    if mapping == "stride":
+        n_tiles = max(1, -(-total // (tile * kp)))
+        perm = _unpack_perm_stride(total, tile, kp, n_tiles * tile)
+    else:
+        perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
     pix_rad = _assemble(rad, perm, kp, n_tiles, tile)
     if return_iters:
         return pix_rad, seg[0], its[0, ::tile]
@@ -923,9 +960,14 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
     key = jnp.asarray(rng.base_key(seed), jnp.uint32).reshape(1, 2)
     cam = _cam_smem(camera)
     n_shards = mesh.shape[TILE_AXIS]
-    kp, tw, th, gw, gh, all_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
-                                                   k_pix, 128)
+    kp, tw, th, gw, gh, _ = _tile_geometry(cfg.nx, cfg.ny, tile, k_pix,
+                                           128)
+    total = cfg.num_pixels
+    # stride mapping: tiles cover lane ranges; the global lane count must
+    # include shard padding so every device agrees on the pixel stride.
+    all_tiles = max(1, -(-total // (tile * kp)))
     t_local = -(-all_tiles // n_shards)
+    lanes_total = n_shards * t_local * tile
 
     @_partial(jax.jit, static_argnames=())
     @_partial(shard_map, mesh=mesh,
@@ -941,12 +983,13 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
             tri_groups=pack.tri_groups, has_checker=pack.has_checker,
             n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
-            margin=pack.phase1_margin)
+            margin=pack.phase1_margin, mapping="stride",
+            lanes_total=lanes_total)
         return rad
 
     rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx, pack.tris)
     g_total = n_shards * t_local
-    perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, all_tiles)
+    perm = _unpack_perm_stride(total, tile, kp, lanes_total)
     pix_rad = _assemble(rad, perm, kp, g_total, tile)
     img = (pix_rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
     return img[::-1]

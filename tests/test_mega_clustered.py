@@ -78,7 +78,9 @@ def test_clustered_sharded_matches_single_device():
         render_image_mega_clustered_sharded)
     from first_raytracer_tpu.parallel.mesh import make_render_mesh
 
-    scene, cam, cfg = sphere_field(n=300, nx=32, ny=16, spp=2)
+    # ny=64 gives 4 real stride tiles, so every shard owns a non-empty
+    # distinct tile range (a single-tile config would pass vacuously).
+    scene, cam, cfg = sphere_field(n=300, nx=64, ny=64, spp=1)
     single = np.asarray(render_image_mega_clustered(
         scene, cam, cfg, interpret=True, tile=128, k_pix=2))
     import jax

@@ -48,6 +48,13 @@ def _timeit(f, n=3):
         jax.block_until_ready(f())
         times.append(time.perf_counter() - t0)
     times.sort()
+    if times[-1] / max(times[0], 1e-12) > 3.0:
+        # Same guard class as bench.py: a tunnel transient that returns
+        # without a device round-trip must not become a recorded number.
+        print(json.dumps(dict(warning="timing spread >3x, suspect "
+                                      "tunnel artifact",
+                              times=[round(t, 5) for t in times])),
+              flush=True)
     return times[len(times) // 2]
 
 
