@@ -252,21 +252,31 @@ def stage_fieldbench():
     # "all" (ungated) fails to COMPILE past ~8 clusters: without pl.when
     # scoping, Mosaic stacks every cluster sweep's temporaries (55.9 MB
     # scoped VMEM at 65 clusters) — the gates also bound live ranges.
-    cases = [("random500", random_scene(), ("slab",)),
-             ("field5000", sphere_field(n=5000), ("slab", "two")),
-             ("field20000", sphere_field(n=20000), ("slab", "two"))]
-    for name, (scene, cam, cfg), modes in cases:
-      for mode in modes:
+    # Variants: (gate_mode, mapping, tile_w, k_pix); FIELD_VARIANTS env
+    # overrides as "mode:mapping:tile_w:k_pix,..." for sweeps.
+    default_variants = (("slab", "stride", 128, 32),)
+    env_v = os.environ.get("FIELD_VARIANTS", "")
+    if env_v:
+        default_variants = tuple(
+            (a, b, int(c), int(d))
+            for a, b, c, d in (tok.split(":")
+                               for tok in env_v.split(",") if tok))
+    cases = [("random500", random_scene(), default_variants),
+             ("field5000", sphere_field(n=5000), default_variants),
+             ("field20000", sphere_field(n=20000), default_variants)]
+    for name, (scene, cam, cfg), variants in cases:
+      for mode, mapping, tw, kp in variants:
         cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
         rad, seg, its = render_pixels_mega_clustered(
-            cpak, cam, cfg, key, return_iters=True,
-            gate_mode=mode)  # compile + warm
+            cpak, cam, cfg, key, return_iters=True, gate_mode=mode,
+            mapping=mapping, tile_w=tw, k_pix=kp)  # compile + warm
         t = _timeit(lambda: render_pixels_mega_clustered(
-            cpak, cam, cfg, key, gate_mode=mode))
+            cpak, cam, cfg, key, gate_mode=mode, mapping=mapping,
+            tile_w=tw, k_pix=kp))
         segs = int(np.asarray(seg, np.int64).sum())
         occ = segs / max(int(np.asarray(its, np.int64).sum()) * 512, 1)
         row = dict(stage="fieldbench", scene=name, kernel="mega-clustered",
-                   gate_mode=mode,
+                   gate_mode=mode, mapping=mapping, tile_w=tw, k_pix=kp,
                    clusters=cpak.clusters, seconds=round(t, 4),
                    mpaths=round(cfg.num_rays / t / 1e6, 2),
                    mrays=round(segs / t / 1e6, 2),
