@@ -184,11 +184,15 @@ def main():
                                                    split_params)
         # Default batch 2^17: measured r4 sweet spot — large enough to
         # amortize the per-step launch latency the pipeline can't hide.
-        total = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 17))
+        # R is the per-step batch; `total` becomes R x pipeline depth for
+        # throughput accounting ONLY (a closure over `total` here would
+        # silently record pipe x R rays per step — it happened).
+        R_grad = int(os.environ.get("BENCH_GRAD_RAYS", 1 << 17))
+        total = R_grad
         method = os.environ.get("BENCH_GRAD_METHOD", "replay")
-        ids = jnp.arange(total, dtype=jnp.int32)
+        ids = jnp.arange(R_grad, dtype=jnp.int32)
         params, _ = split_params(scene)
-        target = jnp.zeros((total, 3), jnp.float32)
+        target = jnp.zeros((R_grad, 3), jnp.float32)
 
         if method == "replay":
             # Two-step fast path: tape record (selection, no AD) + payload-
@@ -213,7 +217,7 @@ def main():
 
                 def rec_tape():
                     return record_paths_mega(gpack, cam, cfg, key,
-                                             num_rays=total, k_rays=kr)
+                                             num_rays=R_grad, k_rays=kr)
             else:
                 gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
 
@@ -258,7 +262,7 @@ def main():
                         params, scene, cam, cfg, key, ids, target,
                         tape[:trips])
 
-            total *= pipe
+            total = R_grad * pipe
 
             def run():
                 return [step() for _ in range(pipe)]
