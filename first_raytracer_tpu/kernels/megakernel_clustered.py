@@ -291,6 +291,15 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
             pix = lane_glob + j * lanes_total
             valid = pix < total_pixels
             return jnp.minimum(pix, total_pixels - 1), valid
+        if mapping == "band":
+            # Contiguous pixel blocks: tile g owns [g*K*T, (g+1)*K*T);
+            # lane l's j-th pixel is g*K*T + j*T + l.  Measured the best
+            # field-scene trade (FIELDBENCH_r4): tile-local coherence
+            # keeps occupancy high while the (saturated) gates still
+            # scope compile temporaries.
+            pix = g * (K * T) + j * T + lane
+            valid = pix < total_pixels
+            return jnp.minimum(pix, total_pixels - 1), valid
         loc = lane + j * T
         yin = _fdiv(loc, 1.0 / TW, TW)
         xin = loc - yin * TW
@@ -801,13 +810,26 @@ def _unpack_perm_stride(total_pixels, tile, k_pix, lanes_total):
     return jnp.asarray(pos, jnp.int32)
 
 
+@functools.lru_cache(maxsize=32)
+def _unpack_perm_band(total_pixels, tile, k_pix):
+    """band: pixel -> flat position; pix = g*K*T + j*T + lane."""
+    pix = np.arange(total_pixels, dtype=np.int64)
+    blk = tile * k_pix
+    g = pix // blk
+    rem = pix % blk
+    j = rem // tile
+    lane = rem % tile
+    pos = (g * k_pix + j) * tile + lane
+    return jnp.asarray(pos, jnp.int32)
+
+
 def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          spp, max_depth, t_min, ns, nt, kc, tri_groups,
                          has_checker, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
                          tile_w=128, unroll=2, margin=0.0,
-                         gate_mode="slab", mapping="stride",
+                         gate_mode="slab", mapping="band",
                          lanes_total=None):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
@@ -827,7 +849,7 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         spp_total = spp
     k_pix, tile_w, tile_h, grid_w, grid_h, all_tiles = _tile_geometry(
         nx, ny, tile, k_pix, tile_w)
-    if mapping == "stride":
+    if mapping in ("stride", "band"):
         all_tiles = max(1, -(-total_pixels // (tile * k_pix)))
     if n_tiles is None:
         n_tiles = all_tiles
@@ -901,7 +923,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  tile_w: int = 128,
                                  return_iters: bool = False,
                                  unroll: int = 2, gate_mode: str = "slab",
-                                 mapping: str = "stride"):
+                                 mapping: str = "band"):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
@@ -916,9 +938,11 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
     total = cfg.num_pixels
-    if mapping == "stride":
+    if mapping in ("stride", "band"):
         n_tiles = max(1, -(-total // (tile * kp)))
-        perm = _unpack_perm_stride(total, tile, kp, n_tiles * tile)
+        perm = (_unpack_perm_stride(total, tile, kp, n_tiles * tile)
+                if mapping == "stride"
+                else _unpack_perm_band(total, tile, kp))
     else:
         perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
     pix_rad = _assemble(rad, perm, kp, n_tiles, tile)
@@ -983,13 +1007,13 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
             tri_groups=pack.tri_groups, has_checker=pack.has_checker,
             n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
-            margin=pack.phase1_margin, mapping="stride",
+            margin=pack.phase1_margin, mapping="band",
             lanes_total=lanes_total)
         return rad
 
     rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx, pack.tris)
     g_total = n_shards * t_local
-    perm = _unpack_perm_stride(total, tile, kp, lanes_total)
+    perm = _unpack_perm_band(total, tile, kp)
     pix_rad = _assemble(rad, perm, kp, g_total, tile)
     img = (pix_rad / cfg.spp).reshape(cfg.ny, cfg.nx, 3)
     return img[::-1]
