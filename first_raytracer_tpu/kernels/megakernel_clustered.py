@@ -78,10 +78,13 @@ _SPH_ROWS = 16
 #   0-2 center, 3 radius, 4 param (fuzz|ref_idx), 5-7 albedo,
 #   8-10 albedo2, 11 tex_scale, 12 c0 = |C|^2 - r^2 (finite sentinel),
 #   13 mat type (0/1/2), 14 tex type (0/1), 15 1/radius (0 sentinel).
-PIX_PER_LANE = 32     # contiguous-tile pixels per lane (smaller than the
-                      # dense kernel's 96: a tile's pixel band is K*T wide,
-                      # and culling wants narrow bands more than the last
-                      # few occupancy points)
+PIX_PER_LANE = 96     # pixels per lane — same as the dense kernel.  The
+                      # r4 mapping/gating campaign (FIELDBENCH_r4.json)
+                      # showed tile-granular culling saturates under
+                      # isotropic bounce directions, so occupancy wins:
+                      # band mapping at K=96 measured 11.8 vs 9.8 Mrays/s
+                      # (K=32) on sphere_field(5000), occupancy 0.77 vs
+                      # 0.61.
 
 
 def _round_up(x, m):
