@@ -103,3 +103,29 @@ def test_clustered_segment_counts_match_dense():
     _, seg_d = render_pixels_mega(pack_scene_mega(scene), cam, cfg, key,
                                   interpret=True)
     assert int(np.asarray(seg_c).sum()) == int(np.asarray(seg_d).sum())
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("mapping", ["band", "stride", "rect"])
+def test_all_pixel_mappings_match_dense(mapping):
+    """Every selectable pixel mapping (band default, stride, rect) must
+    reassemble to the same image as the dense megakernel — the mapping
+    only permutes which lane traces which pixel."""
+    from first_raytracer_tpu.kernels.megakernel_clustered import (
+        render_pixels_mega_clustered)
+    from first_raytracer_tpu.core import rng as _rng
+    from first_raytracer_tpu.kernels.megakernel import (pack_scene_mega,
+                                                        render_pixels_mega)
+
+    scene, cam, cfg = sphere_field(n=400, nx=64, ny=32, spp=2)
+    key = _rng.base_key(0)
+    dense, _ = render_pixels_mega(pack_scene_mega(scene), cam, cfg, key,
+                                  interpret=True)
+    pack = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+    got, _ = render_pixels_mega_clustered(pack, cam, cfg, key,
+                                          interpret=True, tile=128,
+                                          k_pix=2, mapping=mapping)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
+                               rtol=0, atol=1e-6)
