@@ -311,7 +311,12 @@ def main():
                 gold = json.load(f)
         except (OSError, json.JSONDecodeError):
             pass
-        gkey = "radiance_sum_mega_%dx%d_%dspp" % (cfg.nx, cfg.ny, cfg.spp)
+        gkey = "radiance_sum_%s_%dx%d_%dspp" % (
+            "_".join(filter(None, (mode, scene_sel))) or "mega",
+            cfg.nx, cfg.ny, cfg.spp)
+        if mode == "mega" and not scene_sel:
+            gkey = "radiance_sum_mega_%dx%d_%dspp" % (cfg.nx, cfg.ny,
+                                                      cfg.spp)
         if gkey in gold:
             err = check_checksum(checksum, gold[gkey])
             if err:
@@ -339,7 +344,9 @@ def main():
     chunk = min(chunk, total)
     if mode in ("mega", "megacluster"):
         import numpy as _np
-        segments = int(_np.asarray(run()[1], _np.int64).sum())
+        # warm already holds the deterministic (rad, seg) — no extra
+        # full-frame render just to read counters.
+        segments = int(_np.asarray(warm[1], _np.int64).sum())
     else:
         segments = 0
         for s in range(0, total, chunk):

@@ -213,6 +213,7 @@ def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
     contiguous = bool((np.diff(ids_np) == 1).all()) if len(ids_np) else True
     ray0 = int(ids_np[0]) if len(ids_np) else 0
     use_kernel = (contiguous
+                  and ray0 + len(ids_np) <= (1 << 24)
                   and max(scene.num_spheres, scene.num_triangles)
                   <= (1 << 14))
 

@@ -331,6 +331,14 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         q = jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
         return q
 
+    def _fdiv_exact(a, b_inv, b):
+        """_fdiv + one remainder-correction step: exact for any
+        a < 2^24 even where the f32 product's ulp exceeds the +0.5 bias
+        margin (pixel ids beyond ~2^22 — large images)."""
+        q = _fdiv(a, b_inv, b)
+        r = a - q * b
+        return q - (r < 0).astype(i32) + (r >= b).astype(i32)
+
     def pixel_of(s):
         """Grid-stride *global* pixel for a lane's sample counter.
 
@@ -353,7 +361,7 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
     def camera_ray(s, ju, jv, lu, lv):
         """Mirrors render.camera.generate_rays + rng.unit_disk_sample."""
         pixc, _ = pixel_of(s)
-        j_i = _fdiv(pixc, 1.0 / nx, nx)
+        j_i = _fdiv_exact(pixc, 1.0 / nx, nx)
         j_f = j_i.astype(f32)
         i_f = (pixc - j_i * nx).astype(f32)
         sf = (i_f + ju) * f32(1.0 / nx)

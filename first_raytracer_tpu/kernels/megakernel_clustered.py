@@ -276,6 +276,13 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
     def _fdiv(a, b_inv, b):
         return jnp.floor((a.astype(f32) + 0.5) * f32(b_inv)).astype(i32)
 
+    def _fdiv_exact(a, b_inv, b):
+        # _fdiv + remainder correction: exact for a < 2^24 (pixel ids on
+        # large images exceed the plain +0.5-bias margin past ~2^22).
+        q = _fdiv(a, b_inv, b)
+        r = a - q * b
+        return q - (r < 0).astype(i32) + (r >= b).astype(i32)
+
     def pixel_of(s):
         """Lane's pixel for a sample counter, by mapping:
 
@@ -319,7 +326,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
 
     def camera_ray(s, ju, jv, lu, lv):
         pixc, _ = pixel_of(s)
-        j_i = _fdiv(pixc, 1.0 / nx, nx)
+        j_i = _fdiv_exact(pixc, 1.0 / nx, nx)
         j_f = j_i.astype(f32)
         i_f = (pixc - j_i * nx).astype(f32)
         sf = (i_f + ju) * f32(1.0 / nx)

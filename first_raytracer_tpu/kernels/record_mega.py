@@ -107,7 +107,7 @@ def _record_kernel(cam_ref, key_ref, off_ref, sph_ref, mx_ref, tri_ref,
         """Mirrors megakernel.camera_ray with pixel = rid // spp_total."""
         rid, _ = ray_of(s)
         pixc = _fdiv_exact(rid, 1.0 / spp_total, spp_total)
-        j_i = _fdiv(pixc, 1.0 / nx, nx)
+        j_i = _fdiv_exact(pixc, 1.0 / nx, nx)
         j_f = j_i.astype(f32)
         i_f = (pixc - j_i * nx).astype(f32)
         sf = (i_f + ju) * f32(1.0 / nx)
