@@ -64,6 +64,14 @@ ABLATIONS = {
                   "            jnp.minimum(samp, S - 1), ju, jv, lu, lv)",
                   "        cox, coy, coz, cdx, cdy, cdz = "
                   "ox, oy, oz, dx, dy, dz")],
+    # Tape BLOCK size: rpad 408 -> 8 rows at unchanged T=512.  The
+    # tile=256 probe halved block and lanes together; this separates
+    # them — if the whole-body slowdown is VMEM-residency pressure from
+    # the (rpad, T) accumulator, this variant collapses to ~mega cost.
+    "smallblock": [("    rpad = -(-(k_rays * D) // 8) * 8",
+                    "    rpad = 8"),
+                   ("            row = sampc * D + depth",
+                    "            row = sampc * 0")],
     # ray_of / id arithmetic (3 calls per body).
     "noray": [("        rid, _ = ray_of(sampc)",
                "        rid = sampc"),
