@@ -14,9 +14,17 @@ __all__ = ["enable_persistent_cache"]
 
 
 def enable_persistent_cache(path: str = "/tmp/frt_jax_cache") -> None:
-    """Idempotent: respects an already-configured cache dir."""
+    """Idempotent: respects an already-configured cache dir.
+
+    CPU sessions get their own ``_cpu`` namespace: mixing XLA:CPU AOT
+    entries into the TPU-session cache eventually SEGFAULTED readers
+    whose host machine features differ from the entry's compile features
+    (the cpu_aot_loader mismatch warnings; see tests/conftest.py).
+    """
     import jax
 
+    if (jax.config.jax_platforms or "").startswith("cpu"):
+        path = path + "_cpu"
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir", path)
         # Persist EVERYTHING: on the axon toolchain even one-op programs

@@ -23,7 +23,13 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/frt_jax_cache")
+# A CPU-only cache namespace: sharing the TPU-session cache directory
+# eventually segfaulted the suite mid-run (SIGSEGV inside the cache READ
+# deserializing an entry whose XLA:CPU AOT machine features don't match
+# this host — the cpu_aot_loader "could lead to SIGILL" warnings made
+# good on their threat).  Separate directories keep the expensive axon
+# TPU entries intact and the CPU entries host-consistent.
+jax.config.update("jax_compilation_cache_dir", "/tmp/frt_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 assert jax.devices()[0].platform == "cpu", (
     "unit suite must run on the virtual CPU mesh, got "

@@ -71,7 +71,14 @@ ABLATIONS = {
     "smallblock": [("    rpad = -(-(k_rays * D) // 8) * 8",
                     "    rpad = 8"),
                    ("            row = sampc * D + depth",
-                    "            row = sampc * 0")],
+                    "            row = sampc * 0"),
+                   # Post-process expects the full-height block; stub it
+                   # but keep a data dependency so the kernel survives DCE.
+                   ("    tape = (tape[:k_rays * D].reshape(k_rays, D, "
+                    "lanes)\n            .transpose(1, 0, 2).reshape(D, "
+                    "k_rays * lanes))[:, :num_rays]",
+                    "    tape = jnp.zeros((D, num_rays), jnp.int32) "
+                    "+ tape[0, 0].astype(jnp.int32)")],
     # ray_of / id arithmetic (3 calls per body).
     "noray": [("        rid, _ = ray_of(sampc)",
                "        rid = sampc"),
