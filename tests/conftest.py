@@ -39,6 +39,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables after each test module.
+
+    The suite compiles hundreds of programs (including the large
+    interpret-mode Pallas while-loops); keeping them all loaded grew the
+    process until the XLA:CPU compiler itself segfaulted near the end of
+    the run.  Recompiles are cheap via the persistent disk cache.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def tiny_three_spheres():
     from first_raytracer_tpu.scene.builders import three_spheres
