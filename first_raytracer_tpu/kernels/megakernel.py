@@ -296,10 +296,19 @@ def _cbrt(x):
 
 
 def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
-                 rad_ref, seg_ref, it_ref, *,
+                 rad_ref, seg_ref, it_ref, *refs,
                  nx, ny, spp, max_depth, t_min,
                  num_pixels, total_pixels, spp_total, ns, nt, tile, k_pix,
-                 lanes, unroll, sph_groups, tri_groups, has_checker):
+                 lanes, unroll, sph_groups, tri_groups, has_checker,
+                 emit_tape=False):
+    # With ``emit_tape`` a fourth output ref records the winning sorted
+    # primitive id per (pixel-slot, depth): the record->replay gradient
+    # pass's tape, produced at megakernel speed (the standalone recorder
+    # kernel hits a ~10x Mosaic codegen cliff — ROADMAP.md; the same
+    # write grafted here costs ~8%).  Requires spp == 1 (the wrapper
+    # records one spp batch per kernel sweep), so a lane's sample
+    # counter IS its pixel slot and the block height stays K*(D+1).
+    tape_ref = refs[0] if emit_tape else None
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -393,6 +402,11 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
     # Zero the output block (lanes whose pixels are all invalid never
     # flush into some rows).
     rad_ref[:, :] = jnp.zeros((3 * K, T), f32)
+    if emit_tape:
+        D_t = max_depth + 1
+        rpad_t = tape_ref.shape[0]
+        tape_ref[:, :] = jnp.zeros((rpad_t, T), f32)
+        iota_r = jax.lax.broadcasted_iota(i32, (rpad_t, T), 0)
 
     # Packed closest-hit selection: candidate t's are positive f32, so
     # their int32 bit patterns order identically; clearing the low
@@ -598,6 +612,16 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         t_best = jnp.where(is_tri, t_t, t_s)
         hit = active & (t_best < _BIG)
 
+        if emit_tape:
+            # Winner in the pack's group-sorted id space; 0 = miss/dead.
+            ns_cap = sph_ref.shape[1]
+            packed_id = jnp.where(is_tri, pt + i32(ns_cap), ps) \
+                if (ns and nt) else (pt + i32(ns_cap) if nt else ps)
+            row_t = sampc * D_t + depth
+            val_t = jnp.where(hit, (packed_id + 1).astype(f32), 0.0)
+            tape_ref[:, :] = tape_ref[:, :] + (iota_r == row_t).astype(
+                f32) * val_t
+
         px = ox + t_best * dx
         py = oy + t_best * dy
         pz = oz + t_best * dz
@@ -786,7 +810,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
                max_depth, t_min, ns, nt, sph_groups, tri_groups,
                has_checker, num_pixels=None, total_pixels=None,
                spp_total=None, interpret=False, tile=TILE,
-               k_pix=PIX_PER_LANE, unroll=2):
+               k_pix=PIX_PER_LANE, unroll=2, emit_tape=False):
     """Launch the kernel over ``num_pixels`` local pixels.
 
     ``pix0`` (traced (1,1) i32) offsets local pixel indices to global ids
@@ -821,14 +845,37 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     # interpret mode too, so CPU tests exercise the compiled mapping.
     k_pix = -(-k_pix // 8) * 8
     grid = (n_tiles,)
+    if emit_tape and spp != 1:
+        raise ValueError("emit_tape records one spp batch per sweep "
+                         "(requires spp == 1)")
+    rpad_t = -(-(k_pix * (max_depth + 1)) // 8) * 8
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
         spp_total=spp_total, ns=ns, nt=nt, tile=tile, k_pix=k_pix,
         lanes=lanes,
         unroll=1 if interpret else unroll, sph_groups=sph_groups,
-        tri_groups=tri_groups, has_checker=has_checker)
-    rad, seg, its = pl.pallas_call(
+        tri_groups=tri_groups, has_checker=has_checker,
+        emit_tape=emit_tape)
+    out_specs = [
+        pl.BlockSpec((3 * k_pix, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((3 * k_pix, lanes), jnp.float32),
+        jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+        jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+    ]
+    if emit_tape:
+        out_specs.append(pl.BlockSpec((rpad_t, tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((rpad_t, lanes),
+                                              jnp.float32))
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -842,24 +889,21 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
             pl.BlockSpec((_TRI_ROWS, tri.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((3 * k_pix, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((3 * k_pix, lanes), jnp.float32),
-            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
-            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(cam, key, pix0, sph, mx, tri)
+    rad, seg, its = outs[:3]
     # Channel-major (3, K, L) row blocks -> (K*L, 3): flat index
     # j*L + lane == local pixel.
     rad = rad.reshape(3, k_pix, lanes).transpose(1, 2, 0).reshape(-1, 3)
+    if emit_tape:
+        # (slot*D + d, lane) -> (d, slot*L + lane) == (d, local pixel).
+        D = max_depth + 1
+        tape = outs[3].astype(jnp.int32)
+        tape = (tape[:k_pix * D].reshape(k_pix, D, lanes)
+                .transpose(1, 0, 2).reshape(D, k_pix * lanes))
+        return rad[:num_pixels], seg, its, tape[:, :num_pixels]
     return rad[:num_pixels], seg, its
 
 
@@ -868,7 +912,7 @@ _mega_jit = jax.jit(
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
                      "sph_groups", "tri_groups", "has_checker",
                      "num_pixels", "total_pixels", "spp_total", "interpret",
-                     "tile", "k_pix", "unroll"))
+                     "tile", "k_pix", "unroll", "emit_tape"))
 
 
 def _cam_smem(camera):

@@ -491,12 +491,58 @@ _record_jit = jax.jit(
                      "skip_write"))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "spp_total", "max_depth",
+                              "t_min", "ns", "nt", "sph_groups",
+                              "tri_groups", "has_checker", "p0", "P",
+                              "total_pixels", "interpret", "tile",
+                              "k_pix", "unroll", "ns_cap"))
+def _record_mega2(cam, key, sph, mx, tri, sph_order, tri_order, *, nx, ny,
+                  spp_total, max_depth, t_min, ns, nt, sph_groups,
+                  tri_groups, has_checker, p0, P, total_pixels, interpret,
+                  tile, k_pix, unroll, ns_cap):
+    """Megakernel-backed tape record: one spp batch per kernel sweep.
+
+    The standalone recorder kernel below hits a ~10x whole-body Mosaic
+    codegen cliff (ROADMAP.md "recorder per-iteration anomaly"); the
+    same tape write grafted onto the megakernel costs ~8%
+    (tools/mega_tapegraft.py).  So the production recorder IS the
+    megakernel with ``emit_tape``: each sweep records spp batch ``b``
+    (spp=1, spp0=b) over pixels [p0, p0+P), and the batches interleave
+    into the ray-id-ordered tape.  One jitted program, spp_total kernel
+    invocations.
+    """
+    from .megakernel import _mega_call
+
+    D = max_depth + 1
+    batches = []
+    for b in range(spp_total):
+        pix0 = jnp.asarray([[p0, b]], jnp.int32)
+        _, _, _, tape_b = _mega_call(
+            cam, key, sph, mx, tri, pix0, nx=nx, ny=ny, spp=1,
+            max_depth=max_depth, t_min=t_min, ns=ns, nt=nt,
+            sph_groups=sph_groups, tri_groups=tri_groups,
+            has_checker=has_checker, num_pixels=P,
+            total_pixels=total_pixels, spp_total=spp_total,
+            interpret=interpret, tile=tile, k_pix=k_pix, unroll=unroll,
+            emit_tape=True)
+        batches.append(tape_b)                     # (D, P) sorted ids + 1
+    tape = jnp.stack(batches, axis=-1).reshape(D, P * spp_total)
+    sid = tape - 1
+    is_t = sid >= ns_cap
+    sph_part = (sph_order[jnp.clip(sid, 0, max(ns - 1, 0))]
+                if ns else jnp.zeros_like(sid))
+    tri_part = (ns + tri_order[jnp.clip(sid - ns_cap, 0, max(nt - 1, 0))]
+                if nt else jnp.zeros_like(sid))
+    return jnp.where(tape == 0, -1, jnp.where(is_t, tri_part, sph_part))
+
+
 def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
                       num_rays: int = None, spp_total: int = None,
                       interpret: bool = False, tile: int = TILE,
                       k_rays: int = RAYS_PER_LANE, unroll: int = 2,
                       return_iters: bool = False,
-                      skip_write: bool = False):
+                      skip_write: bool = False, impl: str = "mega"):
     """(max_depth+1, R) i32 primitive tape for rays ``[ray0, ray0 + R)``.
 
     Drop-in fast producer for ``diff.replay.record_paths`` restricted to a
@@ -514,6 +560,21 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
         spp_total = cfg.spp
     if ray0 + num_rays > (1 << 24):
         raise ValueError("ray ids must stay below 2^24 (f32-exact decode)")
+    if impl == "mega" and not return_iters and not skip_write:
+        p0 = ray0 // spp_total
+        p1 = -(-(ray0 + num_rays) // spp_total)
+        tape = _record_mega2(
+            _cam_smem(camera), jnp.asarray(key, jnp.uint32).reshape(1, 2),
+            pack.spheres, pack.sph_mx, pack.tris, pack.sph_order,
+            pack.tri_order, nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
+            max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+            ns=pack.sphere_rows, nt=pack.tri_rows,
+            sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
+            has_checker=pack.has_checker, p0=p0, P=p1 - p0,
+            total_pixels=cfg.nx * cfg.ny, interpret=interpret, tile=tile,
+            k_pix=8, unroll=unroll, ns_cap=pack.spheres.shape[1])
+        off = ray0 - p0 * spp_total
+        return tape[:, off:off + num_rays]
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     off = jnp.full((1, 1), ray0, jnp.int32)

@@ -127,3 +127,17 @@ def test_recorder_exact_pixel_decode_at_large_ray_ids():
                                        num_rays=n, interpret=True))
     agree = (got == ref).mean()
     assert agree > 0.999, f"tape agreement {agree:.4%} at large ray ids"
+
+
+def test_legacy_recorder_matches_mega_impl():
+    """The standalone recorder kernel (impl="legacy", kept as the Mosaic
+    codegen-cliff repro) must produce the same tape as the production
+    megakernel-backed implementation."""
+    scene, cam, cfg = random_scene(nx=24, ny=12, spp=2)
+    key = rng.base_key(0)
+    pack = pack_scene_mega(scene)
+    v2 = np.asarray(record_paths_mega(pack, cam, cfg, key, interpret=True))
+    legacy = np.asarray(record_paths_mega(pack, cam, cfg, key,
+                                          interpret=True, impl="legacy"))
+    agree = (v2 == legacy).mean()
+    assert agree > 0.999, f"legacy/mega tape agreement {agree:.4%}"
