@@ -496,11 +496,12 @@ _record_jit = jax.jit(
                               "t_min", "ns", "nt", "sph_groups",
                               "tri_groups", "has_checker", "p0", "P",
                               "total_pixels", "interpret", "tile",
-                              "k_pix", "unroll", "ns_cap"))
+                              "k_pix", "unroll", "ns_cap", "off",
+                              "n_out"))
 def _record_mega2(cam, key, sph, mx, tri, sph_order, tri_order, *, nx, ny,
                   spp_total, max_depth, t_min, ns, nt, sph_groups,
                   tri_groups, has_checker, p0, P, total_pixels, interpret,
-                  tile, k_pix, unroll, ns_cap):
+                  tile, k_pix, unroll, ns_cap, off, n_out):
     """Megakernel-backed tape record: one spp batch per kernel sweep.
 
     The standalone recorder kernel below hits a ~10x whole-body Mosaic
@@ -534,7 +535,12 @@ def _record_mega2(cam, key, sph, mx, tri, sph_order, tri_order, *, nx, ny,
                 if ns else jnp.zeros_like(sid))
     tri_part = (ns + tri_order[jnp.clip(sid - ns_cap, 0, max(nt - 1, 0))]
                 if nt else jnp.zeros_like(sid))
-    return jnp.where(tape == 0, -1, jnp.where(is_t, tri_part, sph_part))
+    mapped = jnp.where(tape == 0, -1,
+                       jnp.where(is_t, tri_part, sph_part))
+    # Slice to the requested ray range INSIDE the program: a separate
+    # out-of-jit slice is a second program launch, which on the axon
+    # tunnel costs ~25-30 ms — a third of the whole record pass.
+    return mapped[:, off:off + n_out]
 
 
 def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
@@ -572,9 +578,9 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
             sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
             has_checker=pack.has_checker, p0=p0, P=p1 - p0,
             total_pixels=cfg.nx * cfg.ny, interpret=interpret, tile=tile,
-            k_pix=8, unroll=unroll, ns_cap=pack.spheres.shape[1])
-        off = ray0 - p0 * spp_total
-        return tape[:, off:off + num_rays]
+            k_pix=8, unroll=unroll, ns_cap=pack.spheres.shape[1],
+            off=ray0 - p0 * spp_total, n_out=num_rays)
+        return tape
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     off = jnp.full((1, 1), ray0, jnp.int32)
