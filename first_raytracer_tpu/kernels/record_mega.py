@@ -529,18 +529,10 @@ def _record_mega2(cam, key, sph, mx, tri, sph_order, tri_order, *, nx, ny,
             emit_tape=True)
         batches.append(tape_b)                     # (D, P) sorted ids + 1
     tape = jnp.stack(batches, axis=-1).reshape(D, P * spp_total)
-    sid = tape - 1
-    is_t = sid >= ns_cap
-    sph_part = (sph_order[jnp.clip(sid, 0, max(ns - 1, 0))]
-                if ns else jnp.zeros_like(sid))
-    tri_part = (ns + tri_order[jnp.clip(sid - ns_cap, 0, max(nt - 1, 0))]
-                if nt else jnp.zeros_like(sid))
-    mapped = jnp.where(tape == 0, -1,
-                       jnp.where(is_t, tri_part, sph_part))
-    # Slice to the requested ray range INSIDE the program: a separate
-    # out-of-jit slice is a second program launch, which on the axon
-    # tunnel costs ~25-30 ms — a third of the whole record pass.
-    return mapped[:, off:off + n_out]
+    # Entries are ORIGINAL scene id + 1 (the kernel extracts the id from
+    # payload row 13/20), so miss (0) maps to -1 by the same subtraction
+    # — no remap gather (a 6.7M-element table gather measured ~55 ms).
+    return (tape - 1)[:, off:off + n_out]
 
 
 def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
