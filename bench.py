@@ -302,7 +302,13 @@ def main():
 
     # Guard: the headline radiance checksum must match the committed golden
     # (loose 1% — covers kernel ulp drift, not a different image; a no-op
-    # or garbage execution cannot match).  First on-chip run records it.
+    # or garbage execution cannot match).  A new mode/scene key is only
+    # RECORDED after every other guard (spread above, implied-FLOP below)
+    # has passed on the same run — a bogus first run must not bless itself
+    # or poison later honest runs (ADVICE r4).  BENCH_RECORD_GOLDEN=1
+    # forces re-recording an existing key (e.g. after a deliberate
+    # semantics change).
+    pending_golden = None
     if mode in ("mega", "megacluster"):
         checksum = float(jnp.sum(warm[0]))
         gold = {}
@@ -317,17 +323,12 @@ def main():
         if mode == "mega" and not scene_sel:
             gkey = "radiance_sum_mega_%dx%d_%dspp" % (cfg.nx, cfg.ny,
                                                       cfg.spp)
-        if gkey in gold:
+        if gkey in gold and not os.environ.get("BENCH_RECORD_GOLDEN"):
             err = check_checksum(checksum, gold[gkey])
             if err:
                 return _fail(err)
         else:
-            gold[gkey] = checksum
-            try:
-                with open(GOLDEN, "w") as f:
-                    json.dump(gold, f, indent=1)
-            except OSError:
-                pass
+            pending_golden = (gkey, checksum, gold)
 
     # True segment count: the megakernel reports it directly; the other
     # modes run one instrumented chunked pass (not timed).
@@ -341,18 +342,24 @@ def main():
                              intersect_fn=intersect_fn, return_stats=True)
         return jnp.sum(segs.astype(jnp.int64))
 
-    chunk = min(chunk, total)
     if mode in ("mega", "megacluster"):
         import numpy as _np
         # warm already holds the deterministic (rad, seg) — no extra
         # full-frame render just to read counters.
         segments = int(_np.asarray(warm[1], _np.int64).sum())
     else:
+        # Grad mode times `pipe` repetitions of the SAME R_grad ray ids, so
+        # the instrumented pass counts ids 0..R_grad once and scales by the
+        # repetition factor (ADVICE r4: iterating 0..R_grad*pipe counted a
+        # different ray population than was benched).
+        count_rays = R_grad if mode == "grad" else total
+        chunk = min(chunk, count_rays)
         segments = 0
-        for s in range(0, total, chunk):
+        for s in range(0, count_rays, chunk):
             ids = jnp.minimum(jnp.arange(s, s + chunk, dtype=jnp.int32),
-                              total - 1)
+                              count_rays - 1)
             segments += int(seg_count(scene, cam, cfg, key, ids, accel))
+        segments *= total // count_rays
 
     mpaths = total / best / 1e6
     mrays = segments / best / 1e6
@@ -362,6 +369,16 @@ def main():
     err = check_flops(segments, np_pad, best)
     if err:
         return _fail(err, segments=segments, seconds=round(best, 6))
+
+    # All guards passed — safe to record a first-run golden checksum now.
+    if pending_golden is not None:
+        gkey, checksum, gold = pending_golden
+        gold[gkey] = checksum
+        try:
+            with open(GOLDEN, "w") as f:
+                json.dump(gold, f, indent=1)
+        except OSError:
+            pass
 
     # vs_baseline is only meaningful against a like-for-like history entry:
     # the headline config compares to the best earlier headline run; other

@@ -65,7 +65,10 @@ def _cmd_render(args):
         # primitives); large scenes route to the clustered megakernel,
         # which gates per-cluster sweeps inside the same persistent-lane
         # loop.
-        print("note: --clustered implies --mode mega-clustered")
+        # Informational notes go to stderr: with ``-o -`` stdout IS
+        # the PPM stream and must start with the P3 header (ADVICE r4).
+        print("note: --clustered implies --mode mega-clustered",
+              file=sys.stderr)
         args.mode = "mega-clustered"
     t0 = time.perf_counter()
     if args.checkpoint:
@@ -78,7 +81,7 @@ def _cmd_render(args):
             def on_batch(state):
                 write_png(args.preview, state.image(cfg))
                 print(f"preview @ {state.samples_done}/{cfg.spp} spp "
-                      f"-> {args.preview}")
+                      f"-> {args.preview}", file=sys.stderr)
         img = progressive_render(scene, camera, cfg, seed=args.seed,
                                  accel=accel,
                                  checkpoint_path=args.checkpoint,

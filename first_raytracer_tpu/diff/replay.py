@@ -222,9 +222,9 @@ def live_trips(tape) -> int:
     return min(int(np.nonzero(rows)[0].max()) + 2, tape.shape[0])
 
 
-def plan_buckets(tape, max_groups: int = 4):
+def plan_buckets(tape, max_groups: int = 6, quantum: int = 1024):
     """Host-side replay plan: rays sorted by recorded path length, split
-    into depth buckets.
+    into depth-ladder buckets.
 
     The lockstep replay runs EVERY ray for the deepest ray's trip count —
     on the final scene one 50-bounce glass path makes 9.6M rays replay 51
@@ -234,11 +234,24 @@ def plan_buckets(tape, max_groups: int = 4):
     ~R x mean_len instead of R x max_len, with bit-identical per-ray
     radiance (replay is per-ray independent).
 
+    Bucket boundaries follow the DEPTH LADDER (one bucket per distinct
+    power-of-two trip level), not equal ray counts: deep paths are rare
+    (geometric tail), and an equal-count split made the deepest quartile
+    replay ~25% of rays at the full 51 trips — ~4x the ladder's total
+    replay work (r5).  ``max_groups`` is enforced by greedily merging the
+    pair with the smallest extra-work penalty (merging a bucket upward
+    into the next trip level is always radiance-preserving: rays just
+    replay rows their tape marks dead).  Boundaries are floor-quantized
+    to ``quantum`` rays — moving a boundary down only promotes rays into
+    the deeper bucket — so jit sees a bounded set of bucket shapes.
+
     Returns ``(order, groups)``: ``order`` is the (R,) i32 permutation,
     ``groups`` a tuple of ``(start, size, trips)`` covering ``order``.
     """
     t = np.asarray(jax.device_get(tape))
     D, R = t.shape
+    if R == 0:
+        return jnp.zeros((0,), jnp.int32), ((0, 0, 1),)
     hit_any = t >= 0
     # Trips ray i needs: one past its deepest hit (the miss that follows),
     # capped at D; no-hit rays need exactly 1 (the sky trip).
@@ -248,26 +261,38 @@ def plan_buckets(tape, max_groups: int = 4):
     need = np.maximum(need, 1)
     order = np.argsort(need, kind="stable").astype(np.int32)
     sorted_need = need[order]
+    # Tiny tapes (tests, small fits) still deserve multiple buckets.
+    quantum = max(1, min(quantum, R // 16))
+
+    def pow2_trips(n):
+        return min(1 << max(int(n) - 1, 0).bit_length(), D)
+
+    levels = sorted({pow2_trips(n) for n in
+                     np.unique(sorted_need).tolist()})
     groups = []
     start = 0
-    bounds = np.linspace(0, R, max_groups + 1).astype(np.int64)
-    for g in range(max_groups):
-        end = int(bounds[g + 1])
-        if end <= start:
-            continue
-        trips = int(sorted_need[start:end].max())
-        trips = min(1 << max(trips - 1, 0).bit_length(), D)
-        groups.append((start, end - start, trips))
-        start = end
-    # Merge adjacent buckets that rounded to the same trip count.
-    merged = [groups[0]]
-    for s, n, tr in groups[1:]:
-        ps, pn, ptr = merged[-1]
-        if tr == ptr:
-            merged[-1] = (ps, pn + n, ptr)
+    for lv in levels:
+        end = int(np.searchsorted(sorted_need, lv, side="right"))
+        if lv != levels[-1]:
+            end = max((end // quantum) * quantum, start)
+        if end > start:
+            groups.append([start, end - start, lv])
+            start = end
+    if start < R:  # quantization left a tail for the deepest level
+        if groups and groups[-1][2] == levels[-1]:
+            groups[-1][1] += R - start
         else:
-            merged.append((s, n, tr))
-    return jnp.asarray(order), tuple(merged)
+            groups.append([start, R - start, levels[-1]])
+    # Enforce max_groups: merge the adjacent pair whose merge costs the
+    # least extra replay work (size_lo x (trips_hi - trips_lo)).
+    while len(groups) > max_groups:
+        pen = [groups[i][1] * (groups[i + 1][2] - groups[i][2])
+               for i in range(len(groups) - 1)]
+        i = int(np.argmin(pen))
+        groups[i + 1] = [groups[i][0], groups[i][1] + groups[i + 1][1],
+                         groups[i + 1][2]]
+        del groups[i]
+    return jnp.asarray(order), tuple(tuple(g) for g in groups)
 
 
 def _mat_block(scene, mat_ids):

@@ -310,12 +310,12 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
                  lanes, unroll, sph_groups, tri_groups, has_checker,
                  emit_tape=False):
     # With ``emit_tape`` a fourth output ref records the winning sorted
-    # primitive id per (pixel-slot, depth): the record->replay gradient
+    # primitive id per (sample-slot, depth): the record->replay gradient
     # pass's tape, produced at megakernel speed (the standalone recorder
-    # kernel hits a ~10x Mosaic codegen cliff — ROADMAP.md; the same
-    # write grafted here costs ~8%).  Requires spp == 1 (the wrapper
-    # records one spp batch per kernel sweep), so a lane's sample
-    # counter IS its pixel slot and the block height stays K*(D+1).
+    # kernel's apparent cliff was a host-graph gather — ROADMAP.md; the
+    # write grafted here costs ~8%).  The block height is K*spp*(D+1)
+    # rows, so the wrapper bounds spp per sweep to keep it within VMEM
+    # (record_mega._record_mega2 picks the batch size).
     tape_ref = refs[0] if emit_tape else None
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
@@ -442,6 +442,20 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
         pm = jnp.min(packed, axis=0)[None, :]
         return pm & jnp.int32((1 << idx_bits) - 1), pm
 
+    def exact_min(tall, iota, npad):
+        """Exact (min t, min index) selection — two sublane reductions.
+
+        ~3 extra (Np, T) ops over packed_min; used on the emit_tape
+        (recorder) path so the production tape never carries packed-min's
+        truncated-t tie flips (the ~0.5% coplanar-triangle divergence vs
+        the wavefront recorders — VERDICT r4 item 7).  The render path
+        keeps packed_min: either candidate of a truncated tie is a
+        legitimate closest hit for radiance, and packed_min is cheaper.
+        """
+        t_cl = jnp.min(tall, axis=0)[None, :]
+        return jnp.min(jnp.where(tall == t_cl, iota, i32(npad)),
+                       axis=0)[None, :]
+
     iota_k = jax.lax.broadcasted_iota(i32, (K, T), 0)
 
     # --- init: sample 0 camera rays ---
@@ -499,7 +513,8 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             nok = tn > t_min
             fok = tf_ > t_min
             tall = jnp.where(nok, tn, jnp.where(fok, tf_, f32(_BIG)))
-            ps, _ = packed_min(tall, iota_s, idx_bits_s)
+            ps = (exact_min(tall, iota_s, ns_pad) if emit_tape
+                  else packed_min(tall, iota_s, idx_bits_s)[0])
 
         t_t = jnp.full((1, T), f32(_BIG))
         pt = jnp.zeros((1, T), i32)
@@ -531,7 +546,8 @@ def _mega_kernel(cam_ref, key_ref, pix0_ref, sph_ref, mx_ref, tri_ref,
             hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > t_min) & (tt < _BIG))
             tallt = jnp.where(hitm, tt, f32(_BIG))
-            pt, _ = packed_min(tallt, iota_t, idx_bits_t)
+            pt = (exact_min(tallt, iota_t, nt_pad) if emit_tape
+                  else packed_min(tallt, iota_t, idx_bits_t)[0])
 
         # ---- payload: one-hot extraction of the winner's rows ----
         # One (C, Np) x (Np, T) one-hot matmul on the MXU replaces the
@@ -858,10 +874,7 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     # interpret mode too, so CPU tests exercise the compiled mapping.
     k_pix = -(-k_pix // 8) * 8
     grid = (n_tiles,)
-    if emit_tape and spp != 1:
-        raise ValueError("emit_tape records one spp batch per sweep "
-                         "(requires spp == 1)")
-    rpad_t = -(-(k_pix * (max_depth + 1)) // 8) * 8
+    rpad_t = -(-(k_pix * spp * (max_depth + 1)) // 8) * 8
     kernel = functools.partial(
         _mega_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, num_pixels=num_pixels, total_pixels=total_pixels,
@@ -911,12 +924,14 @@ def _mega_call(cam, key, sph, mx, tri, pix0=None, *, nx, ny, spp,
     # j*L + lane == local pixel.
     rad = rad.reshape(3, k_pix, lanes).transpose(1, 2, 0).reshape(-1, 3)
     if emit_tape:
-        # (slot*D + d, lane) -> (d, slot*L + lane) == (d, local pixel).
+        # (s*D + d, lane) with s = slot*spp + rem
+        #   -> (d, (slot*L + lane)*spp + rem) == (d, local ray).
         D = max_depth + 1
+        S = k_pix * spp
         tape = outs[3].astype(jnp.int32)
-        tape = (tape[:k_pix * D].reshape(k_pix, D, lanes)
-                .transpose(1, 0, 2).reshape(D, k_pix * lanes))
-        return rad[:num_pixels], seg, its, tape[:, :num_pixels]
+        tape = (tape[:S * D].reshape(k_pix, spp, D, lanes)
+                .transpose(2, 0, 3, 1).reshape(D, k_pix * lanes * spp))
+        return rad[:num_pixels], seg, its, tape[:, :num_pixels * spp]
     return rad[:num_pixels], seg, its
 
 

@@ -19,19 +19,33 @@ persistent-lane design and adds the two-level culling of
   slab-tested against the whole 512-lane ray tile, bounded above by each
   lane's current best t; ``pl.when(any lane passes)`` decides whether the
   cluster's 128 slots are swept at all.  Divergence is tile-granular —
-  the only granularity TPU control flow is free at — so lanes must be
-  COHERENT: unlike the dense megakernel's image-wide grid stride, a tile
-  here owns a 2D RECTANGLE of pixels (``tile_w x tile_h``, default
-  128x128).  A rectangle is the coherence sweet spot twice over: its
-  depth-0 frustum is a narrow cone (a contiguous 1D pixel range would be
-  a whole-image-width band whose frustum crosses most of the scene —
-  measured on sphere_field(5000): nearly every cluster swept every
-  iteration), and its bounce-ray ORIGINS stay inside the small surface
-  patch the rectangle sees, so the best-t-bounded slab gates prune
-  distant clusters even for isotropic bounce directions.  The occupancy
-  cost (long paths cluster spatially) is the price of gates that fire;
-  the dense kernel made the opposite trade because it sweeps everything
-  anyway.
+  the only granularity TPU control flow is free at — so lanes should be
+  COHERENT.  The shipped default mapping is ``band`` (each tile owns a
+  contiguous block of ``k_pix*tile`` pixels): the r4 measurement campaign
+  (FIELDBENCH_r4.json) showed occupancy dominates once tile-granular
+  culling saturates under isotropic bounce directions, and band at
+  k_pix=96 beat both the image-wide ``stride`` mapping and the 2D
+  ``rect`` (tile_w x tile_h rectangle) mapping on every field scene.
+  ``rect``/``stride`` remain selectable (``mapping=``) for regimes where
+  their trade wins.
+- **Adjacency gates** (``gate_mode="adj"``, r5): the r4 slab gates
+  saturate because 512 isotropic bounce rays union-cover every cluster
+  whose per-ray hit probability exceeds ~1/512 — the gate fires on
+  direction statistics, which do not thin out in a dense field.  What
+  does stay small is geometric adjacency: a bounce ray's *origin* sits
+  on a surface, and in a dense field its next hit is almost always in a
+  nearby cluster.  So the host builds a uniform CELL GRID over robust
+  (percentile) scene bounds plus a static (cells x clusters) adjacency
+  table; each lane carries the grid cell of its last hit point, and
+  phase 1 sweeps exactly the clusters adjacent to any occupied cell
+  (one-hot cell union -> one (cells x clusters) matvec on the MXU ->
+  per-cluster scalar gates).  Phase 2 slab-gates every remaining
+  cluster against the per-lane best t that phase 1 tightened, so
+  correctness never depends on the adjacency table: a ray that escapes
+  its neighborhood (long free path, sky, camera rays at depth 0) is
+  caught by the exact slab test.  Hit-point cells (not winner-cluster
+  ids) make the scheme robust to the huge ground sphere, whose cluster
+  box overlaps everything.
 - **Exact selection**: per swept cluster the winner is the exact
   (min t, min slot) — no packed-mantissa truncation — folded across
   clusters; the winner's 16 payload rows (geometry + material, material
@@ -76,7 +90,8 @@ _LANE = 128           # cluster slot capacity
 _SPH_ROWS = 16
 # Sphere payload rows (cluster-major columns):
 #   0-2 center, 3 radius, 4 param (fuzz|ref_idx), 5-7 albedo,
-#   8-10 albedo2, 11 tex_scale, 12 c0 = |C|^2 - r^2 (finite sentinel),
+#   8-10 albedo2, 11 tex_scale, 12 ORIGINAL scene index (emit_tape;
+#   the sweep reads c0 from the mx table, so this payload slot is free),
 #   13 mat type (0/1/2), 14 tex type (0/1), 15 1/radius (0 sentinel).
 PIX_PER_LANE = 96     # pixels per lane — same as the dense kernel.  The
                       # r4 mapping/gating campaign (FIELDBENCH_r4.json)
@@ -110,13 +125,70 @@ class MegaClusteredPack:
     # before the per-lane slab gates run on the rest.  Default: half the
     # median cluster extent.
     phase1_margin: float = 0.0
+    # gate_mode="adj" (r5): uniform cell grid over robust scene bounds +
+    # static cell->cluster adjacency.  ``adj`` is (C_pad, KC_pad) f32
+    # (1.0 where the margin-inflated cell box overlaps the cluster box);
+    # grid_* are static tuples the kernel folds in as constants.
+    adj: jax.Array = None          # (C_pad, KC_pad) f32
+    grid_lo: tuple = (0.0, 0.0, 0.0)
+    grid_inv: tuple = (1.0, 1.0, 1.0)   # 1 / cell size per axis
+    grid_dims: tuple = (1, 1, 1)
 
 
 jax.tree_util.register_dataclass(
     MegaClusteredPack,
-    data_fields=("sph", "sph_mx", "boxes", "tris"),
+    data_fields=("sph", "sph_mx", "boxes", "tris", "adj"),
     meta_fields=("sphere_rows", "tri_rows", "clusters", "tri_groups",
-                 "has_checker", "phase1_margin"))
+                 "has_checker", "phase1_margin", "grid_lo", "grid_inv",
+                 "grid_dims"))
+
+
+def _build_cell_grid(bmin_all, bmax_all, boxes_np, target_cells=256,
+                     max_per_axis=16, adj_scale=0.5):
+    """Uniform cell grid + cell->cluster adjacency (host, once per scene).
+
+    Bounds come from per-axis PERCENTILES of the primitive AABBs so one
+    huge outlier (the r=1000 ground sphere) cannot stretch the grid over
+    dead space; hit points outside the grid clamp to the boundary cells,
+    whose adjacency covers the boundary clusters (phase 2's exact slab
+    gates make out-of-grid gating a performance matter only).  A cell is
+    adjacent to a cluster when the cell box, inflated by ``adj_scale`` x
+    the median cluster extent (the expected "next hit is nearby" radius),
+    overlaps the cluster's AABB.
+    """
+    lo = np.percentile(bmin_all, 2, axis=0).astype(np.float64)
+    hi = np.percentile(bmax_all, 98, axis=0).astype(np.float64)
+    hi = np.maximum(hi, lo + 1e-3)
+    ext = hi - lo
+    active = ext > 1e-6
+    cell = float(np.prod(ext[active]) / target_cells) ** (
+        1.0 / max(int(active.sum()), 1))
+    dims = np.clip(np.ceil(ext / max(cell, 1e-9)).astype(np.int64), 1,
+                   max_per_axis)
+    while int(np.prod(dims)) > 2 * target_cells:
+        dims[int(np.argmax(dims))] -= 1
+    gx, gy, gz = (int(d) for d in dims)
+    csz = ext / dims
+    inv = np.where(csz > 1e-12, 1.0 / np.where(csz > 1e-12, csz, 1.0), 0.0)
+
+    cext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
+    m = (float(np.median(cext[cext > 0]) * adj_scale)
+         if (cext > 0).any() else 0.0)
+
+    ix, iy, iz = np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz),
+                             indexing="ij")
+    idx = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3)  # cell-major
+    cell_lo = lo[None, :] + idx * csz[None, :] - m
+    cell_hi = lo[None, :] + (idx + 1) * csz[None, :] + m
+    kc = boxes_np.shape[0]
+    ov = ((cell_lo[:, None, :] <= boxes_np[None, :, 3:6])
+          & (cell_hi[:, None, :] >= boxes_np[None, :, 0:3])).all(axis=2)
+    c_pad = -(-(gx * gy * gz) // 8) * 8
+    kc_pad = -(-kc // _LANE) * _LANE
+    adj = np.zeros((c_pad, kc_pad), np.float32)
+    adj[:gx * gy * gz, :kc] = ov.astype(np.float32)
+    return (adj, tuple(float(x) for x in lo),
+            tuple(float(x) for x in inv), (gx, gy, gz))
 
 
 def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
@@ -194,7 +266,7 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
             c64 = c.astype(np.float64)
             c0 = ((c64 * c64).sum(1)
                   - r.astype(np.float64) ** 2).astype(np.float32)
-            sph[12, j0:j0 + m] = c0
+            sph[12, j0:j0 + m] = np.asarray(gids, np.float32)  # orig ids
             sph[13, j0:j0 + m] = mtype_all[
                 np.asarray(s.sphere_mat)[gids]].astype(np.float32)
             sph[14, j0:j0 + m] = textype_all[
@@ -227,25 +299,45 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
         tri[6:9, :nt] = e2.T
         tri[9:12, :nt] = n.T
         tri[12:20, :nt] = mat_rows(np.asarray(s.tri_mat)[order])
+        # Row 20: global ORIGINAL id (ns + tri index) for emit_tape.
+        tri[20, :nt] = (ns + order).astype(np.float32)
     margin = 0.0
     if ns and kc > 1:
         ext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
         margin = float(np.median(ext[ext > 0]) * 0.5) if (ext > 0).any() \
             else 0.0
+    if ns:
+        adj, grid_lo, grid_inv, grid_dims = _build_cell_grid(
+            bmin, bmax, boxes_np[:, :6].astype(np.float64))
+    else:
+        adj = np.zeros((8, _LANE), np.float32)
+        grid_lo, grid_inv, grid_dims = (0.0,) * 3, (1.0,) * 3, (1, 1, 1)
     return MegaClusteredPack(
         sph=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
         boxes=jnp.asarray(boxes_np), tris=jnp.asarray(tri),
         sphere_rows=ns, tri_rows=nt, clusters=kc, tri_groups=tri_groups,
-        has_checker=has_checker, phase1_margin=margin)
+        has_checker=has_checker, phase1_margin=margin,
+        adj=jnp.asarray(adj), grid_lo=grid_lo, grid_inv=grid_inv,
+        grid_dims=grid_dims)
 
 
-def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
-                           mx_ref, tri_ref, rad_ref, seg_ref, it_ref,
-                           acc_ref, *,
+def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
+                           sph_ref, mx_ref, tri_ref, rad_ref, seg_ref,
+                           it_ref, swp_ref, *refs,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
                            total_pixels, spp_total, ns, nt, kc, tile,
                            k_pix, unroll, tri_groups, has_checker,
-                           margin, gate_mode, mapping, lanes_total):
+                           margin, gate_mode, mapping, lanes_total,
+                           grid_lo, grid_inv, grid_dims,
+                           emit_tape=False):
+    # With ``emit_tape`` an extra output block records the winning
+    # ORIGINAL primitive id per (sample-slot, depth) — the record->replay
+    # tape for LARGE scenes (the dense recorder caps at 2^14 packed
+    # primitives; this kernel's exact per-cluster selection has no
+    # packed-id bound).  Ids ride in payload rows (sphere 12 / tri 20)
+    # and come out of the same one-hot extraction as the rest.
+    tape_ref = refs[0] if emit_tape else None
+    acc_ref = refs[-1]
     f32, i32, u32 = jnp.float32, jnp.int32, jnp.uint32
     T = tile
     K = k_pix
@@ -351,6 +443,20 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                 _bits_to_unit(b0), _bits_to_unit(b1))
 
     rad_ref[:, :] = jnp.zeros((3 * K, T), f32)
+    acc_ref[17:18, :] = jnp.zeros((1, T), f32)   # cluster-sweep counter
+    if emit_tape:
+        D_t = max_depth + 1
+        rpad_t = tape_ref.shape[0]
+        tape_ref[:, :] = jnp.zeros((rpad_t, T), f32)
+        iota_r = jax.lax.broadcasted_iota(i32, (rpad_t, T), 0)
+
+    use_adj = gate_mode == "adj" and ns and kc > 1
+    if use_adj:
+        c_pad = adj_ref.shape[0]
+        iota_cell = jax.lax.broadcasted_iota(i32, (c_pad, T), 0)
+        glx, gly, glz = (f32(v) for v in grid_lo)
+        gix, giy, giz = (f32(v) for v in grid_inv)
+        gdx, gdy, gdz = grid_dims
 
     if nt:
         nt_pad = tri_ref.shape[1]
@@ -377,7 +483,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
 
     def body(carry):
         (it, samp, depth, ox, oy, oz, dx, dy, dz,
-         tpx, tpy, tpz, rx, ry, rz, segs) = carry
+         tpx, tpy, tpz, rx, ry, rz, segs, ocell) = carry
         active = samp < S
         sampc = jnp.minimum(samp, S - 1)
         rid = ray_id(sampc)
@@ -462,6 +568,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                 j0 = kcl * _LANE
 
                 def _sweep(j0=j0):
+                    acc_ref[17:18, :] = acc_ref[17:18, :] + 1.0
                     cx = mx_ref[j0:j0 + _LANE, 0:1]
                     cy = mx_ref[j0:j0 + _LANE, 1:2]
                     cz = mx_ref[j0:j0 + _LANE, 2:3]
@@ -502,6 +609,30 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
             elif gate_mode == "slab":
                 for kcl in range(kc):
                     pl.when(slab_gate(kcl))(make_sweep(kcl))
+            elif use_adj:
+                # Phase 1: clusters adjacent to any lane's last-hit grid
+                # cell.  One-hot cell union (c_pad, T) -> lane-reduce ->
+                # one (c_pad x kc_pad) matvec; per-cluster scalar gates
+                # from static row slices.  ocell = -1 (depth-0/dead
+                # lanes) matches no row, so camera rays gate purely by
+                # phase 2's slab test.
+                occ1 = (iota_cell == ocell).astype(f32)
+                ucell = jnp.max(occ1, axis=1, keepdims=True)
+                gvec = jax.lax.dot_general(
+                    adj_ref[:, :], ucell,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)  # (kc_pad, 1)
+                nears = [jnp.any(gvec[kcl:kcl + 1, :] > 0.5)
+                         for kcl in range(kc)]
+                for kcl in range(kc):
+                    pl.when(nears[kcl])(make_sweep(kcl))
+                # Phase 2: everything else, slab-gated against the
+                # phase-1-tightened per-lane best t.  Exact — escapes,
+                # long free paths and camera rays are all caught here.
+                for kcl in range(kc):
+                    pl.when(jnp.logical_not(nears[kcl])
+                            & slab_gate(kcl))(make_sweep(kcl))
             else:
                 # Phase 1: bounce-origin-adjacent clusters (scalar
                 # predicate).
@@ -515,7 +646,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
                             & slab_gate(kcl))(make_sweep(kcl))
             t_s = acc_ref[0:1, :]
             (scx, scy, scz, _, sparam, sa0r, sa0g, sa0b, sa1r, sa1g, sa1b,
-             sscale, _, smtype, stextype, sinvr) = [
+             sscale, soid, smtype, stextype, sinvr) = [
                 acc_ref[r:r + 1, :] for r in range(1, 17)]
 
         # ---- triangles: dense sweep (megakernel path, unchanged) ----
@@ -548,7 +679,15 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
             hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                     & (tt > t_min) & (tt < _BIG))
             tallt = jnp.where(hitm, tt, f32(_BIG))
-            pt, _ = packed_min(tallt, iota_t, idx_bits_t)
+            if emit_tape:
+                # Exact (min t, min slot) — the recorder path must not
+                # inherit packed_min's truncated-t tie flips (VERDICT r4
+                # item 7); the sphere fold is already exact.
+                t_clt = jnp.min(tallt, axis=0)[None, :]
+                pt = jnp.min(jnp.where(tallt == t_clt, iota_t,
+                                       i32(nt_pad)), axis=0)[None, :]
+            else:
+                pt, _ = packed_min(tallt, iota_t, idx_bits_t)
 
             oh_t = (iota_t == pt).astype(f32)
             res_t = jax.lax.dot_general(
@@ -562,6 +701,8 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
 
             (tnx, tny, tnz, tparam) = pickt((9, 10, 11, 12))
             (ta0r, ta0g, ta0b) = pickt((13, 14, 15))
+            if emit_tape:
+                (toid,) = pickt((20,))
             if has_checker:
                 (ta1r, ta1g, ta1b, tscale_t) = pickt((16, 17, 18, 19))
             g = tri_groups
@@ -602,6 +743,17 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
         is_tri = t_t < t_s
         t_best = jnp.where(is_tri, t_t, t_s)
         hit = active & (t_best < _BIG)
+
+        if emit_tape:
+            if ns and nt:
+                oid = jnp.where(is_tri, toid, soid)
+            elif ns:
+                oid = soid
+            else:
+                oid = toid
+            row_t = sampc * D_t + depth
+            tape_ref[:, :] = tape_ref[:, :] + (iota_r == row_t).astype(
+                f32) * jnp.where(hit, oid + 1.0, 0.0)
 
         px = ox + t_best * dx
         py = oy + t_best * dy
@@ -709,6 +861,17 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
         sok = metal_ok | ~is_metal
 
         cont = hit & sok & (depth < max_depth)
+        if use_adj:
+            # Grid cell of this bounce's hit point = the NEXT segment's
+            # origin cell (phase-1 adjacency key).  Out-of-grid points
+            # clamp to boundary cells; non-continuing lanes carry -1.
+            cgx = jnp.clip(jnp.floor((px - glx) * gix).astype(i32), 0,
+                           gdx - 1)
+            cgy = jnp.clip(jnp.floor((py - gly) * giy).astype(i32), 0,
+                           gdy - 1)
+            cgz = jnp.clip(jnp.floor((pz - glz) * giz).astype(i32), 0,
+                           gdz - 1)
+            ocell = jnp.where(cont, (cgx * gdy + cgy) * gdz + cgz, -1)
         miss_now = active & ~hit
         skyt = 0.5 * (dy + 1.0)
         rx = rx + jnp.where(miss_now, tpx * ((1.0 - skyt) + skyt * 0.5), 0.0)
@@ -756,7 +919,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
         tpz = jnp.where(regen, 1.0, tpz)
         depth = jnp.where(regen, 0, depth)
         return (it + 1, samp, depth, ox, oy, oz, dx, dy, dz,
-                tpx, tpy, tpz, rx, ry, rz, segs)
+                tpx, tpy, tpz, rx, ry, rz, segs, ocell)
 
     max_it = S * (max_depth + 1) + 2
 
@@ -765,7 +928,8 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
 
     init = (jnp.int32(0), samp0, jnp.zeros((1, T), jnp.int32),
             ox, oy, oz, dx, dy, dz, one, one, one, zero, zero, zero,
-            jnp.zeros((1, T), jnp.int32))
+            jnp.zeros((1, T), jnp.int32),
+            jnp.full((1, T), -1, jnp.int32))
 
     def body_x(carry):
         for _ in range(unroll):
@@ -775,6 +939,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sph_ref,
     final = jax.lax.while_loop(cond, body_x, init)
     seg_ref[0, :] = final[15][0, :]
     it_ref[0, :] = jnp.full((T,), final[0], jnp.int32)
+    swp_ref[0:1, :] = acc_ref[17:18, :].astype(jnp.int32)
 
 
 def _tile_geometry(nx, ny, tile, k_pix, tile_w):
@@ -833,14 +998,17 @@ def _unpack_perm_band(total_pixels, tile, k_pix):
     return jnp.asarray(pos, jnp.int32)
 
 
-def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
+def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
+                         nx, ny,
                          spp, max_depth, t_min, ns, nt, kc, tri_groups,
                          has_checker, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
                          tile_w=128, unroll=2, margin=0.0,
                          gate_mode="slab", mapping="band",
-                         lanes_total=None):
+                         lanes_total=None, grid_lo=(0.0, 0.0, 0.0),
+                         grid_inv=(1.0, 1.0, 1.0), grid_dims=(1, 1, 1),
+                         emit_tape=False):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
     Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
@@ -876,8 +1044,17 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
         spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
         unroll=1 if interpret else unroll, tri_groups=tri_groups,
         has_checker=has_checker, margin=margin, gate_mode=gate_mode,
-        mapping=mapping, lanes_total=lanes_total)
-    rad, seg, its = pl.pallas_call(
+        mapping=mapping, lanes_total=lanes_total, grid_lo=grid_lo,
+        grid_inv=grid_inv, grid_dims=grid_dims, emit_tape=emit_tape)
+    rpad_t = -(-(k_pix * spp * (max_depth + 1)) // 8) * 8
+    extra_specs = ()
+    extra_shapes = ()
+    if emit_tape:
+        extra_specs = (pl.BlockSpec((rpad_t, tile), lambda i: (0, i),
+                                    memory_space=pltpu.VMEM),)
+        extra_shapes = (jax.ShapeDtypeStruct((rpad_t, lanes),
+                                             jnp.float32),)
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -885,6 +1062,8 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
+            pl.BlockSpec((adj.shape[0], adj.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # cell->cluster adj
             pl.BlockSpec((sph.shape[0], sph.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mx.shape[0], mx.shape[1]), lambda i: (0, 0),
@@ -899,16 +1078,19 @@ def _mega_clustered_call(cam, key, pix0, boxes, sph, mx, tri, *, nx, ny,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-        ),
+            pl.BlockSpec((1, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ) + extra_specs,
         out_shape=(
             jax.ShapeDtypeStruct((3 * k_pix, lanes), jnp.float32),
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
-        ),
+            jax.ShapeDtypeStruct((1, lanes), jnp.int32),
+        ) + extra_shapes,
         scratch_shapes=[pltpu.VMEM((24, tile), jnp.float32)],
         interpret=interpret,
-    )(cam, key, pix0, boxes, sph, mx, tri)
-    return rad, seg, its
+    )(cam, key, pix0, boxes, adj, sph, mx, tri)
+    return outs
 
 
 _mega_clustered_jit = jax.jit(
@@ -917,7 +1099,8 @@ _mega_clustered_jit = jax.jit(
                      "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
                      "k_pix", "tile_w", "unroll", "margin", "gate_mode",
-                     "mapping", "lanes_total"))
+                     "mapping", "lanes_total", "grid_lo", "grid_inv",
+                     "grid_dims", "emit_tape"))
 
 
 @functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
@@ -934,17 +1117,24 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  return_iters: bool = False,
                                  unroll: int = 2, gate_mode: str = "slab",
                                  mapping: str = "band"):
-    """Render all pixels; returns (radiance_sum (P, 3), segments (L,))."""
+    """Render all pixels; returns (radiance_sum (P, 3), segments (L,)).
+
+    ``return_iters`` additionally returns per-tile bounce-loop trips and
+    per-tile executed cluster-sweep counts (gate diagnostics).
+    """
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
-    rad, seg, its = _mega_clustered_jit(
-        cam, key, None, pack.boxes, pack.sph, pack.sph_mx, pack.tris,
+    rad, seg, its, swp = _mega_clustered_jit(
+        cam, key, None, pack.boxes, pack.adj, pack.sph, pack.sph_mx,
+        pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
         kc=pack.clusters, tri_groups=pack.tri_groups,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
         k_pix=k_pix, tile_w=tile_w, unroll=unroll,
-        margin=pack.phase1_margin, gate_mode=gate_mode, mapping=mapping)
+        margin=pack.phase1_margin, gate_mode=gate_mode, mapping=mapping,
+        grid_lo=pack.grid_lo, grid_inv=pack.grid_inv,
+        grid_dims=pack.grid_dims)
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
     total = cfg.num_pixels
@@ -957,7 +1147,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
         perm = _unpack_perm(cfg.nx, cfg.ny, tile, kp, tw, th, gw, n_tiles)
     pix_rad = _assemble(rad, perm, kp, n_tiles, tile)
     if return_iters:
-        return pix_rad, seg[0], its[0, ::tile]
+        return pix_rad, seg[0], its[0, ::tile], swp[0, ::tile]
     return pix_rad, seg[0]
 
 
@@ -1005,23 +1195,26 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
 
     @_partial(jax.jit, static_argnames=())
     @_partial(shard_map, mesh=mesh,
-              in_specs=(P(), P(), P(), P(), P(), P()),
+              in_specs=(P(), P(), P(), P(), P(), P(), P()),
               out_specs=P(None, TILE_AXIS), check_vma=False)
-    def run(cam, key, boxes, sph, mx, tri):
+    def run(cam, key, boxes, adj, sph, mx, tri):
         idx = jax.lax.axis_index(TILE_AXIS)
         pix0 = jnp.stack([idx * t_local,
                           jnp.zeros((), jnp.int32)]).reshape(1, 2)
-        rad, _, _ = _mega_clustered_call(
-            cam, key, pix0, boxes, sph, mx, tri, nx=cfg.nx, ny=cfg.ny,
+        rad, _, _, _ = _mega_clustered_call(
+            cam, key, pix0, boxes, adj, sph, mx, tri, nx=cfg.nx,
+            ny=cfg.ny,
             spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
             tri_groups=pack.tri_groups, has_checker=pack.has_checker,
             n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
             margin=pack.phase1_margin, mapping="band",
-            lanes_total=lanes_total)
+            lanes_total=lanes_total, grid_lo=pack.grid_lo,
+            grid_inv=pack.grid_inv, grid_dims=pack.grid_dims)
         return rad
 
-    rad = run(cam, key, pack.boxes, pack.sph, pack.sph_mx, pack.tris)
+    rad = run(cam, key, pack.boxes, pack.adj, pack.sph, pack.sph_mx,
+              pack.tris)
     g_total = n_shards * t_local
     perm = _unpack_perm_band(total, tile, kp)
     pix_rad = _assemble(rad, perm, kp, g_total, tile)

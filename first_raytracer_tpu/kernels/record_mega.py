@@ -49,7 +49,8 @@ from .megakernel import (_BIG, _LANE, TILE, MegaScenePack, _bits_to_unit,
                          _cam_smem, _cbrt, _recip, _threefry2x32, _unit3,
                          pack_scene_mega)
 
-__all__ = ["record_paths_mega", "pack_scene_mega", "MegaScenePack"]
+__all__ = ["record_paths_mega", "record_paths_mega_clustered",
+           "pack_scene_mega", "MegaScenePack"]
 
 # Rays per lane: higher -> better lane occupancy (grid-stride averaging)
 # but a taller (K*D, T) tape block and a pricier one-hot write.  K=8 at
@@ -491,44 +492,67 @@ _record_jit = jax.jit(
                      "skip_write"))
 
 
+# VMEM budget for the in-kernel tape block (K*spb*D rows x T lanes x 4B):
+# bounds spp-per-sweep so the block plus the sweep's (Ns_pad, T)
+# temporaries stay under the ~16 MB VMEM.  6 MiB leaves ~10 MB for
+# temps + tables (the dense megakernel's own working set).
+_TAPE_VMEM_BYTES = 6 << 20
+
+
+def _spp_batches(spp_total, k_pix, max_depth, tile):
+    """Balanced spp batch sizes for the emit_tape sweeps."""
+    spb_max = max(1, _TAPE_VMEM_BYTES
+                  // (k_pix * (max_depth + 1) * tile * 4))
+    nb = -(-spp_total // spb_max)
+    spb = -(-spp_total // nb)
+    sizes = [spb] * (spp_total // spb)
+    if spp_total % spb:
+        sizes.append(spp_total % spb)
+    return tuple(sizes)
+
+
 @functools.partial(
     jax.jit, static_argnames=("nx", "ny", "spp_total", "max_depth",
                               "t_min", "ns", "nt", "sph_groups",
                               "tri_groups", "has_checker", "p0", "P",
                               "total_pixels", "interpret", "tile",
                               "k_pix", "unroll", "ns_cap", "off",
-                              "n_out"))
+                              "n_out", "spp_sizes"))
 def _record_mega2(cam, key, sph, mx, tri, sph_order, tri_order, *, nx, ny,
                   spp_total, max_depth, t_min, ns, nt, sph_groups,
                   tri_groups, has_checker, p0, P, total_pixels, interpret,
-                  tile, k_pix, unroll, ns_cap, off, n_out):
-    """Megakernel-backed tape record: one spp batch per kernel sweep.
+                  tile, k_pix, unroll, ns_cap, off, n_out, spp_sizes=None):
+    """Megakernel-backed tape record: few VMEM-sized spp-batch sweeps.
 
-    The standalone recorder kernel below hits a ~10x whole-body Mosaic
-    codegen cliff (ROADMAP.md "recorder per-iteration anomaly"); the
-    same tape write grafted onto the megakernel costs ~8%
-    (tools/mega_tapegraft.py).  So the production recorder IS the
-    megakernel with ``emit_tape``: each sweep records spp batch ``b``
-    (spp=1, spp0=b) over pixels [p0, p0+P), and the batches interleave
-    into the ray-id-ordered tape.  One jitted program, spp_total kernel
-    invocations.
+    The production recorder IS the megakernel with ``emit_tape`` (the
+    standalone recorder's apparent cliff was a host-graph gather; the
+    grafted write costs ~8% — tools/mega_tapegraft.py).  Each sweep
+    records ``spb`` samples per pixel over pixels [p0, p0+P) at sample
+    offset spp0=b; ``spb`` is the largest count whose (K*spb*D, T) tape
+    block fits the VMEM budget (r4 ran spp=1 sweeps: 10 dispatches and
+    only K=8 samples/lane of tail averaging; r5 batches them — fewer
+    sweeps, S=K*spb samples/lane occupancy).  One jitted program.
     """
     from .megakernel import _mega_call
 
     D = max_depth + 1
+    if spp_sizes is None:
+        spp_sizes = _spp_batches(spp_total, k_pix, max_depth, tile)
     batches = []
-    for b in range(spp_total):
-        pix0 = jnp.asarray([[p0, b]], jnp.int32)
+    b0 = 0
+    for spb in spp_sizes:
+        pix0 = jnp.asarray([[p0, b0]], jnp.int32)
         _, _, _, tape_b = _mega_call(
-            cam, key, sph, mx, tri, pix0, nx=nx, ny=ny, spp=1,
+            cam, key, sph, mx, tri, pix0, nx=nx, ny=ny, spp=spb,
             max_depth=max_depth, t_min=t_min, ns=ns, nt=nt,
             sph_groups=sph_groups, tri_groups=tri_groups,
             has_checker=has_checker, num_pixels=P,
             total_pixels=total_pixels, spp_total=spp_total,
             interpret=interpret, tile=tile, k_pix=k_pix, unroll=unroll,
             emit_tape=True)
-        batches.append(tape_b)                     # (D, P) sorted ids + 1
-    tape = jnp.stack(batches, axis=-1).reshape(D, P * spp_total)
+        batches.append(tape_b.reshape(D, P, spb))  # ids + 1, ray-ordered
+        b0 += spb
+    tape = jnp.concatenate(batches, axis=2).reshape(D, P * spp_total)
     # Entries are ORIGINAL scene id + 1 (the kernel extracts the id from
     # payload row 13/20), so miss (0) maps to -1 by the same subtraction
     # — no remap gather (a 6.7M-element table gather measured ~55 ms).
@@ -540,7 +564,8 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
                       interpret: bool = False, tile: int = TILE,
                       k_rays: int = RAYS_PER_LANE, unroll: int = 2,
                       return_iters: bool = False,
-                      skip_write: bool = False, impl: str = "mega"):
+                      skip_write: bool = False, impl: str = "mega",
+                      spp_sizes=None):
     """(max_depth+1, R) i32 primitive tape for rays ``[ray0, ray0 + R)``.
 
     Drop-in fast producer for ``diff.replay.record_paths`` restricted to a
@@ -571,7 +596,8 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
             has_checker=pack.has_checker, p0=p0, P=p1 - p0,
             total_pixels=cfg.nx * cfg.ny, interpret=interpret, tile=tile,
             k_pix=8, unroll=unroll, ns_cap=pack.spheres.shape[1],
-            off=ray0 - p0 * spp_total, n_out=num_rays)
+            off=ray0 - p0 * spp_total, n_out=num_rays,
+            spp_sizes=spp_sizes)
         return tape
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
@@ -590,3 +616,98 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
     return tape
 
 
+
+@functools.partial(
+    jax.jit, static_argnames=("nx", "ny", "spp_total", "max_depth",
+                              "t_min", "ns", "nt", "kc", "tri_groups",
+                              "has_checker", "tile0", "n_tiles",
+                              "interpret", "tile", "k_pix", "unroll",
+                              "margin", "gate_mode", "grid_lo",
+                              "grid_inv", "grid_dims", "off", "n_out",
+                              "spp_sizes"))
+def _record_megac2(cam, key, boxes, adj, sph, mx, tri, *, nx, ny,
+                   spp_total, max_depth, t_min, ns, nt, kc, tri_groups,
+                   has_checker, tile0, n_tiles, interpret, tile, k_pix,
+                   unroll, margin, gate_mode, grid_lo, grid_inv,
+                   grid_dims, off, n_out, spp_sizes):
+    """Clustered-megakernel tape record (band mapping), VMEM-sized spp
+    batches — the large-scene counterpart of ``_record_mega2``."""
+    from .megakernel_clustered import _mega_clustered_call
+
+    D = max_depth + 1
+    batches = []
+    b0 = 0
+    for spb in spp_sizes:
+        pix0 = jnp.asarray([[tile0, b0]], jnp.int32)
+        outs = _mega_clustered_call(
+            cam, key, pix0, boxes, adj, sph, mx, tri, nx=nx, ny=ny,
+            spp=spb, max_depth=max_depth, t_min=t_min, ns=ns, nt=nt,
+            kc=kc, tri_groups=tri_groups, has_checker=has_checker,
+            n_tiles=n_tiles, spp_total=spp_total, interpret=interpret,
+            tile=tile, k_pix=k_pix, unroll=unroll, margin=margin,
+            gate_mode=gate_mode, mapping="band", grid_lo=grid_lo,
+            grid_inv=grid_inv, grid_dims=grid_dims, emit_tape=True)
+        tape_b = outs[4]                       # (rpad, lanes), ids + 1
+        S = k_pix * spb
+        lanes = tape_b.shape[1]
+        ntl = lanes // tile
+        # rows (j*spb + rem)*D + d, cols (g, lane)
+        #   -> (d, ((g*K + j)*T + lane)*spb + rem) = (d, pixel*spb + rem).
+        tb = (tape_b[:S * D].reshape(k_pix, spb, D, ntl, tile)
+              .transpose(2, 3, 0, 4, 1).reshape(D, ntl * k_pix * tile,
+                                                spb))
+        batches.append(tb)
+        b0 += spb
+    tape = jnp.concatenate(batches, axis=2).reshape(D, -1)
+    return (tape.astype(jnp.int32) - 1)[:, off:off + n_out]
+
+
+def record_paths_mega_clustered(pack, camera, cfg, key, ray0: int = 0,
+                                num_rays: int = None,
+                                spp_total: int = None,
+                                interpret: bool = False, tile: int = TILE,
+                                k_pix: int = 8, unroll: int = 2,
+                                gate_mode: str = "slab",
+                                spp_sizes=None):
+    """(max_depth+1, R) i32 primitive tape via the CLUSTERED megakernel.
+
+    Same contract as ``record_paths_mega`` / ``diff.replay.record_paths``
+    (-1 = miss/dead, else ORIGINAL scene id, spheres then triangles) for
+    a contiguous ray range — but with the clustered kernel's gated
+    per-cluster sweeps and exact selection, so it has no 2^14 packed-id
+    bound and tracks large-scene forward cost (VERDICT r4 item 4).
+    ``pack`` is a ``MegaClusteredPack``.
+    """
+    from .megakernel_clustered import MegaClusteredPack  # noqa: F401
+
+    if num_rays is None:
+        num_rays = cfg.num_rays
+    if spp_total is None:
+        spp_total = cfg.spp
+    if ray0 + num_rays > (1 << 24):
+        raise ValueError("ray ids must stay below 2^24 (f32-exact decode)")
+    if pack.sphere_rows + pack.tri_rows >= (1 << 24):
+        raise ValueError("payload id rows are f32: < 2^24 primitives")
+    if k_pix % 8:
+        raise ValueError("k_pix must be a multiple of 8 (flush blocks)")
+    if spp_sizes is None:
+        spp_sizes = _spp_batches(spp_total, k_pix, cfg.max_depth, tile)
+    blk = tile * k_pix
+    p0 = ray0 // spp_total
+    p1 = -(-(ray0 + num_rays) // spp_total)
+    tile0 = p0 // blk
+    t1 = -(-p1 // blk)
+    cam = _cam_smem(camera)
+    keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    return _record_megac2(
+        cam, keya, pack.boxes, pack.adj, pack.sph, pack.sph_mx, pack.tris,
+        nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
+        max_depth=cfg.max_depth, t_min=float(cfg.t_min),
+        ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
+        tri_groups=pack.tri_groups, has_checker=pack.has_checker,
+        tile0=tile0, n_tiles=t1 - tile0, interpret=interpret, tile=tile,
+        k_pix=k_pix, unroll=unroll, margin=pack.phase1_margin,
+        gate_mode=gate_mode, grid_lo=pack.grid_lo, grid_inv=pack.grid_inv,
+        grid_dims=pack.grid_dims,
+        off=ray0 - tile0 * blk * spp_total, n_out=num_rays,
+        spp_sizes=spp_sizes)

@@ -141,11 +141,12 @@ def megakernel_clustered_occupancy(scene, camera, cfg: RenderConfig,
         kw["tile"] = tile
     if k_pix:
         kw["k_pix"] = k_pix
-    rad, seg, its = mc.render_pixels_mega_clustered(
+    rad, seg, its, swp = mc.render_pixels_mega_clustered(
         pack, camera, cfg, key, interpret=interpret, return_iters=True,
         **kw)
     segs = int(np.asarray(seg, np.int64).sum())
     trips = np.asarray(its, np.int64)
+    sweeps = np.asarray(swp, np.int64)
     lanes = kw.get("tile", mc.TILE)
     slots = int(trips.sum()) * lanes
     return {
@@ -155,4 +156,8 @@ def megakernel_clustered_occupancy(scene, camera, cfg: RenderConfig,
         "tile_trips_mean": round(float(trips.mean()), 1),
         "tile_trips_max": int(trips.max()),
         "lane_occupancy": round(segs / slots, 4) if slots else 0.0,
+        # Gate selectivity: cluster sweeps actually executed per bounce
+        # iteration, averaged over tiles (ungated would equal clusters).
+        "sweeps_per_iter": round(float(sweeps.sum() / max(trips.sum(), 1)),
+                                 2),
     }

@@ -129,3 +129,31 @@ def test_all_pixel_mappings_match_dense(mapping):
                                           k_pix=2, mapping=mapping)
     np.testing.assert_allclose(np.asarray(got), np.asarray(dense),
                                rtol=0, atol=1e-6)
+
+
+@_pytest.mark.parametrize("preset,kw", [
+    (random_scene, dict(nx=24, ny=12, spp=2)),
+    (sphere_field, dict(n=600, nx=24, ny=12, spp=2)),
+    (triangle_scene, dict(nx=24, ny=12, spp=2)),
+], ids=["random-spheres", "sphere-field", "triangle-mesh"])
+def test_adjacency_gate_mode_matches_slab(preset, kw):
+    """gate_mode="adj" (r5: hit-point-cell adjacency phase 1 + exact slab
+    phase 2) must be a pure scheduling change: same radiance, same
+    segment counts as the slab-gated kernel (which itself bit-matches the
+    dense megakernel)."""
+    from first_raytracer_tpu.core import rng as _rng
+
+    scene, cam, cfg = preset(**kw)
+    pack = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+    key = _rng.base_key(0)
+    r_slab, s_slab = render_pixels_mega_clustered(
+        pack, cam, cfg, key, interpret=True, gate_mode="slab")
+    r_adj, s_adj, its, swp = render_pixels_mega_clustered(
+        pack, cam, cfg, key, interpret=True, gate_mode="adj",
+        return_iters=True)
+    np.testing.assert_allclose(np.asarray(r_adj), np.asarray(r_slab),
+                               rtol=0, atol=1e-6)
+    assert (np.asarray(s_adj) == np.asarray(s_slab)).all()
+    # The sweep counter is live and bounded by ungated cost.
+    trips = int(np.asarray(its).sum())
+    assert 0 < int(np.asarray(swp).sum()) <= trips * pack.clusters

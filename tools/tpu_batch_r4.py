@@ -267,7 +267,7 @@ def stage_fieldbench():
     for name, (scene, cam, cfg), variants in cases:
       for mode, mapping, tw, kp in variants:
         cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
-        rad, seg, its = render_pixels_mega_clustered(
+        rad, seg, its, _ = render_pixels_mega_clustered(
             cpak, cam, cfg, key, return_iters=True, gate_mode=mode,
             mapping=mapping, tile_w=tw, k_pix=kp)  # compile + warm
         t = _timeit(lambda: render_pixels_mega_clustered(
