@@ -208,7 +208,16 @@ def main():
                 render_loss_and_grads_tape)
             from first_raytracer_tpu.diff.replay import (live_trips,
                                                          record_paths_pool)
-            rec_kind = os.environ.get("BENCH_GRAD_REC", "mega")
+            # Recorder: dense megakernel tape for reference-scale scenes,
+            # CLUSTERED megakernel tape for large ones (field presets /
+            # past the 2^14 dense bound) — override with BENCH_GRAD_REC.
+            rec_kind = os.environ.get("BENCH_GRAD_REC", "")
+            if not rec_kind:
+                big = max(scene.num_spheres,
+                          scene.num_triangles) > (1 << 14)
+                rec_kind = ("megacluster"
+                            if big or scene_sel.startswith("field")
+                            else "mega")
             if rec_kind == "mega":
                 from first_raytracer_tpu.kernels.record_mega import (
                     pack_scene_mega as _pack_mega, record_paths_mega)
@@ -218,6 +227,17 @@ def main():
                 def rec_tape():
                     return record_paths_mega(gpack, cam, cfg, key,
                                              num_rays=R_grad, k_rays=kr)
+            elif rec_kind == "megacluster":
+                from first_raytracer_tpu.kernels.megakernel_clustered \
+                    import pack_scene_mega_clustered
+                from first_raytracer_tpu.kernels.record_mega import (
+                    record_paths_mega_clustered)
+                cgpack = pack_scene_mega_clustered(scene,
+                                                   sort_from=cam.origin)
+
+                def rec_tape():
+                    return record_paths_mega_clustered(
+                        cgpack, cam, cfg, key, num_rays=R_grad)
             else:
                 gpool = int(os.environ.get("BENCH_GRAD_POOL", 1 << 14))
 

@@ -127,3 +127,50 @@ def test_sphere_center_grad_matches_oracle_fd(setup):
 def test_sphere_radius_grad_matches_oracle_fd(setup):
     _fd_oracle_vs_ad(setup, "sphere_radius", (1,), h=5e-4, rtol=0.15,
                      mask_by_tape=True)
+
+
+@pytest.fixture(scope="module")
+def setup_tri():
+    from first_raytracer_tpu.scene.builders import triangle_scene
+    scene, cam, cfg = triangle_scene(nx=16, ny=8, spp=2)
+    cfg = dataclasses.replace(cfg, max_depth=MAX_DEPTH)
+    key = rng.base_key(0)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+    return scene, cam, cfg, key, ids
+
+
+@pytest.fixture(scope="module")
+def setup_checker():
+    from first_raytracer_tpu.scene.builders import camera_showcase
+    scene, cam, cfg = camera_showcase(nx=16, ny=8, spp=2)
+    cfg = dataclasses.replace(cfg, max_depth=MAX_DEPTH)
+    key = rng.base_key(0)
+    ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
+    return scene, cam, cfg, key, ids
+
+
+def test_tri_v0_grad_matches_oracle_fd(setup_tri):
+    """Triangle vertex (floor quad corner): the hit-equation/normal
+    derivative for triangle geometry (VERDICT r4 item 6 — no FD-oracle
+    test touched triangles before r5)."""
+    g = _fd_oracle_vs_ad(setup_tri, "tri_v0", (0, 1), h=1e-3, rtol=0.15,
+                         mask_by_tape=True)
+    assert g != 0.0
+
+
+def test_tri_v1_grad_matches_oracle_fd(setup_tri):
+    _fd_oracle_vs_ad(setup_tri, "tri_v1", (0, 1), h=1e-3, rtol=0.15,
+                     mask_by_tape=True)
+
+
+def test_tri_v2_grad_matches_oracle_fd(setup_tri):
+    _fd_oracle_vs_ad(setup_tri, "tri_v2", (1, 1), h=1e-3, rtol=0.15,
+                     mask_by_tape=True)
+
+
+def test_albedo2_grad_matches_oracle_fd(setup_checker):
+    """Checker secondary color (camera-effects preset exercises the
+    checker texture): pure attenuation, every ray qualifies."""
+    g = _fd_oracle_vs_ad(setup_checker, "albedo2", (0, 1), h=1e-2,
+                         rtol=5e-2, mask_by_tape=False)
+    assert g != 0.0

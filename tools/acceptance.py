@@ -70,10 +70,19 @@ def main(argv=None):
     for name in canonical:
         preset = PRESETS[name]
         scene, cam, cfg = preset()  # FULL canonical size
-        img_mega = np.asarray(render_image_mega(scene, cam, cfg))  # compile
+        jax.block_until_ready(render_image_mega(scene, cam, cfg))  # compile
+        # Split device render from host readback (VERDICT r4 items 4/6):
+        # r4's single np.asarray() timing mixed the device frame with the
+        # device->host image transfer over the axon tunnel, producing
+        # numbers 4x off the (device-only, by the driver's definition)
+        # bench — and easily misread as a regression.
         t0 = time.perf_counter()
-        img_mega = np.asarray(render_image_mega(scene, cam, cfg))
-        t_mega = time.perf_counter() - t0
+        img_dev = jax.block_until_ready(render_image_mega(scene, cam, cfg))
+        t_dev = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        img_mega = np.asarray(img_dev)
+        t_read = time.perf_counter() - t0
+        t_mega = t_dev + t_read
         img_wave = np.asarray(render_image(scene, cam, cfg))
         d = np.abs(img_mega - img_wave)
         # The megakernel's documented ulp-level deviations (cbrt/rsqrt)
@@ -84,8 +93,11 @@ def main(argv=None):
         row = {
             "preset": name,
             "config": f"{cfg.nx}x{cfg.ny}@{cfg.spp}spp d{cfg.max_depth}",
-            "mega_seconds": round(t_mega, 3),
-            "mega_mpaths_s": round(cfg.num_rays / t_mega / 1e6, 2),
+            "mega_device_seconds": round(t_dev, 3),
+            "mega_readback_seconds": round(t_read, 3),
+            "mega_seconds_e2e": round(t_mega, 3),
+            "mega_mpaths_s_device": round(cfg.num_rays / t_dev / 1e6, 2),
+            "mega_mpaths_s_e2e": round(cfg.num_rays / t_mega / 1e6, 2),
             "mega_vs_wavefront_frac_gt_1e3": frac_bad,
             "mega_vs_wavefront_mean": float(d.mean()),
             "mega_vs_wavefront_median": float(np.median(d)),

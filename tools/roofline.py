@@ -38,8 +38,9 @@ from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 def _fma_kernel(out_ref, *, iters, n_acc, rows, cols, op):
     f32 = jnp.float32
-    base = (jax.lax.broadcasted_iota(f32, (rows, cols), 1) * f32(1e-4)
-            + f32(0.5))
+    # Mosaic iota is integer-only; build the f32 ramp via convert.
+    base = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+            .astype(f32) * f32(1e-4) + f32(0.5))
     accs = tuple(base + f32(0.01 * i) for i in range(n_acc))
     c1 = f32(0.999999)
     c2 = f32(1.3e-6)
