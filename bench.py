@@ -260,7 +260,7 @@ def main():
             # record+grad steps with one device sync at the end — the
             # steady-state shape of a fit loop, where async dispatch
             # overlaps the per-call host round-trip with device work.
-            pipe = max(1, int(os.environ.get("BENCH_GRAD_PIPELINE", 8)))
+            pipe = max(1, int(os.environ.get("BENCH_GRAD_PIPELINE", 16)))
             replay_kind = os.environ.get("BENCH_GRAD_REPLAY", "bucketed")
             if replay_kind == "bucketed":
                 from first_raytracer_tpu.diff.grad import (

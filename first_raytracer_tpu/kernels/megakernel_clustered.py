@@ -133,14 +133,26 @@ class MegaClusteredPack:
     grid_lo: tuple = (0.0, 0.0, 0.0)
     grid_inv: tuple = (1.0, 1.0, 1.0)   # 1 / cell size per axis
     grid_dims: tuple = (1, 1, 1)
+    # gate_mode="hier" (r5): spatial supergroups of <=8 clusters, one
+    # slab gate per supergroup (the measured per-cluster gate overhead
+    # of ~0.42 us/iteration dominates large scenes).
+    super_boxes: jax.Array = None  # (KS, 8) f32 SMEM
+    super_spans: tuple = ((0, 1),)  # (start, end) cluster spans per super
+    # Triangle clusters (r5): same two-level scheme as spheres.
+    tri_boxes: jax.Array = None        # (KT, 8) f32 SMEM
+    tri_super_boxes: jax.Array = None  # (KTS, 8) f32 SMEM
+    tri_clusters: int = 1
+    tri_super_spans: tuple = ((0, 1),)
 
 
 jax.tree_util.register_dataclass(
     MegaClusteredPack,
-    data_fields=("sph", "sph_mx", "boxes", "tris", "adj"),
+    data_fields=("sph", "sph_mx", "boxes", "tris", "adj", "super_boxes",
+                 "tri_boxes", "tri_super_boxes"),
     meta_fields=("sphere_rows", "tri_rows", "clusters", "tri_groups",
                  "has_checker", "phase1_margin", "grid_lo", "grid_inv",
-                 "grid_dims"))
+                 "grid_dims", "super_spans", "tri_clusters",
+                 "tri_super_spans"))
 
 
 def _build_cell_grid(bmin_all, bmax_all, boxes_np, target_cells=256,
@@ -235,6 +247,8 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
     boxes_np = np.zeros((1, 8), np.float32)
     boxes_np[:, 0:3] = _BIG
     boxes_np[:, 3:6] = -_BIG
+    super_spans = ((0, 1),)
+    sboxes_np = boxes_np
     if ns:
         bmin, bmax = sphere_aabb_np(s.sphere_center, s.sphere_radius)
         boxes, slot_ids = _cluster_type(bmin, bmax, np.arange(ns), max_leaf)
@@ -245,6 +259,37 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
             boxes = boxes[order]
             slot_ids = [slot_ids[k] for k in order]
         kc = len(slot_ids)
+        # r5 SUPERGROUPS (gate_mode="hier"): the r5 fieldbench decomposed
+        # per-iteration cost as ~0.42 us PER CLUSTER independent of
+        # whether it is swept — the per-cluster gate+branch overhead, not
+        # sweep math, dominates large scenes (sweeps cost ~nothing; see
+        # FIELDBENCH_r5.json fit).  Spatially grouping <=8 clusters under
+        # ONE slab gate cuts gate sites ~8x; a fired supergroup sweeps
+        # all its children unconditionally (cheap).  Clusters are
+        # reordered supergroup-major; supers sorted front-to-back.
+        super_spans = tuple((k, k + 1) for k in range(kc))
+        sboxes_np = boxes
+        if kc > 16:
+            sb, sgroups = _cluster_type(boxes[:, 0:3].astype(np.float64),
+                                        boxes[:, 3:6].astype(np.float64),
+                                        np.arange(kc), 8)
+            sgroups = [np.sort(g) for g in sgroups]  # keep camera order
+            if sort_from is not None:
+                scn = 0.5 * (sb[:, 0:3] + sb[:, 3:6])
+                sd2 = ((scn - np.asarray(sort_from, np.float32))
+                       ** 2).sum(1)
+                sorder = np.argsort(sd2, kind="stable")
+                sb = sb[sorder]
+                sgroups = [sgroups[i] for i in sorder]
+            new_order = np.concatenate(sgroups)
+            boxes = boxes[new_order]
+            slot_ids = [slot_ids[i] for i in new_order]
+            spans, off = [], 0
+            for g in sgroups:
+                spans.append((off, off + len(g)))
+                off += len(g)
+            super_spans = tuple(spans)
+            sboxes_np = np.asarray(sb, np.float32)
         cols = kc * _LANE
         sph = np.zeros((_SPH_ROWS, cols), np.float32)
         sph[0:3] = _BIG                      # sentinel slots: never hit
@@ -276,31 +321,83 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
             mx[j0:j0 + m, 0:3] = c
             mx[j0:j0 + m, 3] = c0
 
-    # --- triangles: dense megakernel layout (group-sorted) ---
+    # --- triangles: SAH clusters, cluster-major columns (r5) ---
+    # Same two-level scheme as the spheres (VERDICT r4 item 8: triangles
+    # previously kept the dense treatment, so triangle-heavy large
+    # scenes had no fast path).  Material/texture types ride as table
+    # rows 21/22 (SAH order destroys the dense pack's group sort); the
+    # per-cluster fold keeps the EXACT t, so no winner-t replay is
+    # needed.  Zero sentinel columns have det == 0 -> never hit.
     tri = np.zeros((_TRI_ROWS, _LANE), np.float32)
-    tri_groups = (0,) * 7
+    tri_groups = (0,) * 7            # unused here; kept for pack compat
+    kt = 1
+    tboxes_np = np.zeros((1, 8), np.float32)
+    tboxes_np[:, 0:3] = _BIG
+    tboxes_np[:, 3:6] = -_BIG
+    tri_super_spans = ((0, 1),)
+    tsboxes_np = tboxes_np
     if nt:
-        gkey = (mtype_all[np.asarray(s.tri_mat, np.int64)] * 2
-                + (textype_all[np.asarray(s.tri_mat, np.int64)] == 1))
-        order = np.argsort(gkey, kind="stable")
-        counts = np.bincount(gkey, minlength=6)
-        tri_groups = tuple(
-            int(x) for x in np.concatenate([[0], np.cumsum(counts)]))
-        nt_pad = max(_round_up(nt, _LANE), _LANE)
-        tri = np.zeros((_TRI_ROWS, nt_pad), np.float32)
-        v0 = np.asarray(s.tri_v0, np.float32)[order]
-        e1 = np.asarray(s.tri_v1, np.float32)[order] - v0
-        e2 = np.asarray(s.tri_v2, np.float32)[order] - v0
-        n = np.cross(e1, e2)
-        nn = np.linalg.norm(n, axis=1, keepdims=True)
-        n = n / np.where(nn > 0, nn, 1.0)
-        tri[0:3, :nt] = v0.T
-        tri[3:6, :nt] = e1.T
-        tri[6:9, :nt] = e2.T
-        tri[9:12, :nt] = n.T
-        tri[12:20, :nt] = mat_rows(np.asarray(s.tri_mat)[order])
-        # Row 20: global ORIGINAL id (ns + tri index) for emit_tape.
-        tri[20, :nt] = (ns + order).astype(np.float32)
+        v0a = np.asarray(s.tri_v0, np.float64)
+        v1a = np.asarray(s.tri_v1, np.float64)
+        v2a = np.asarray(s.tri_v2, np.float64)
+        tbmin = np.minimum(np.minimum(v0a, v1a), v2a)
+        tbmax = np.maximum(np.maximum(v0a, v1a), v2a)
+        tboxes, t_slots = _cluster_type(tbmin, tbmax, np.arange(nt),
+                                        max_leaf)
+        if sort_from is not None:
+            tcent = 0.5 * (tboxes[:, 0:3] + tboxes[:, 3:6])
+            td2 = ((tcent - np.asarray(sort_from, np.float32))
+                   ** 2).sum(1)
+            torder = np.argsort(td2, kind="stable")
+            tboxes = tboxes[torder]
+            t_slots = [t_slots[i] for i in torder]
+        kt = len(t_slots)
+        tri_super_spans = tuple((k, k + 1) for k in range(kt))
+        tsboxes_np = np.asarray(tboxes, np.float32)
+        if kt > 16:
+            tsb, tsg = _cluster_type(tboxes[:, 0:3].astype(np.float64),
+                                     tboxes[:, 3:6].astype(np.float64),
+                                     np.arange(kt), 8)
+            tsg = [np.sort(g) for g in tsg]
+            if sort_from is not None:
+                tscn = 0.5 * (tsb[:, 0:3] + tsb[:, 3:6])
+                tsd2 = ((tscn - np.asarray(sort_from, np.float32))
+                        ** 2).sum(1)
+                tso = np.argsort(tsd2, kind="stable")
+                tsb = tsb[tso]
+                tsg = [tsg[i] for i in tso]
+            t_new = np.concatenate(tsg)
+            tboxes = tboxes[t_new]
+            t_slots = [t_slots[i] for i in t_new]
+            spans, off = [], 0
+            for gsp in tsg:
+                spans.append((off, off + len(gsp)))
+                off += len(gsp)
+            tri_super_spans = tuple(spans)
+            tsboxes_np = np.asarray(tsb, np.float32)
+        tri = np.zeros((_TRI_ROWS, kt * _LANE), np.float32)
+        tboxes_np = np.asarray(tboxes, np.float32)
+        tm_all = np.asarray(s.tri_mat, np.int64)
+        for k, gids in enumerate(t_slots):
+            m = len(gids)
+            j0 = k * _LANE
+            v0 = v0a[gids].astype(np.float32)
+            e1 = (v1a[gids] - v0a[gids]).astype(np.float32)
+            e2 = (v2a[gids] - v0a[gids]).astype(np.float32)
+            n = np.cross(e1, e2)
+            nn = np.linalg.norm(n, axis=1, keepdims=True)
+            n = n / np.where(nn > 0, nn, 1.0)
+            tri[0:3, j0:j0 + m] = v0.T
+            tri[3:6, j0:j0 + m] = e1.T
+            tri[6:9, j0:j0 + m] = e2.T
+            tri[9:12, j0:j0 + m] = n.T
+            tri[12:20, j0:j0 + m] = mat_rows(tm_all[gids])
+            # Row 20: global ORIGINAL id (ns + tri index) for emit_tape.
+            tri[20, j0:j0 + m] = (ns + gids).astype(np.float32)
+            tri[21, j0:j0 + m] = mtype_all[tm_all[gids]].astype(
+                np.float32)
+            tri[22, j0:j0 + m] = textype_all[tm_all[gids]].astype(
+                np.float32)
     margin = 0.0
     if ns and kc > 1:
         ext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
@@ -318,18 +415,22 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
         sphere_rows=ns, tri_rows=nt, clusters=kc, tri_groups=tri_groups,
         has_checker=has_checker, phase1_margin=margin,
         adj=jnp.asarray(adj), grid_lo=grid_lo, grid_inv=grid_inv,
-        grid_dims=grid_dims)
+        grid_dims=grid_dims, super_boxes=jnp.asarray(sboxes_np),
+        super_spans=super_spans, tri_boxes=jnp.asarray(tboxes_np),
+        tri_super_boxes=jnp.asarray(tsboxes_np), tri_clusters=kt,
+        tri_super_spans=tri_super_spans)
 
 
-def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
+def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
+                           tbox_ref, tsbox_ref, adj_ref,
                            sph_ref, mx_ref, tri_ref, rad_ref, seg_ref,
                            it_ref, swp_ref, *refs,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
-                           total_pixels, spp_total, ns, nt, kc, tile,
-                           k_pix, unroll, tri_groups, has_checker,
+                           total_pixels, spp_total, ns, nt, kc, kt, tile,
+                           k_pix, unroll, has_checker,
                            margin, gate_mode, mapping, lanes_total,
-                           grid_lo, grid_inv, grid_dims,
-                           emit_tape=False):
+                           grid_lo, grid_inv, grid_dims, super_spans,
+                           tri_super_spans, emit_tape=False):
     # With ``emit_tape`` an extra output block records the winning
     # ORIGINAL primitive id per (sample-slot, depth) — the record->replay
     # tape for LARGE scenes (the dense recorder caps at 2^14 packed
@@ -458,18 +559,21 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
         gix, giy, giz = (f32(v) for v in grid_inv)
         gdx, gdy, gdz = grid_dims
 
-    if nt:
-        nt_pad = tri_ref.shape[1]
-        idx_bits_t = max((nt_pad - 1).bit_length(), 1)
-        iota_t = jax.lax.broadcasted_iota(i32, (nt_pad, T), 0)
-    iota_c = jax.lax.broadcasted_iota(i32, (_LANE, T), 0)
+    # Slot iotas per distinct sweep width: gate_mode="hier" fuses a fired
+    # supergroup's children into ONE (G*128, T) sweep — one reduction
+    # pair, one one-hot, one extraction matmul instead of G of each (the
+    # measured per-sweep fixed cost of ~1.1 us dominates the large-scene
+    # iteration once gate sites are batched; FIELDBENCH_r5).
+    span_widths = {_LANE}
+    if gate_mode == "hier":
+        span_widths |= {(c1 - c0) * _LANE for c0, c1 in super_spans}
+        if nt:
+            span_widths |= {(c1 - c0) * _LANE
+                            for c0, c1 in tri_super_spans}
+    iota_w = {w: jax.lax.broadcasted_iota(i32, (w, T), 0)
+              for w in sorted(span_widths)}
+    iota_c = iota_w[_LANE]
     iota_k = jax.lax.broadcasted_iota(i32, (K, T), 0)
-
-    def packed_min(tall, iota, idx_bits):
-        hi = jnp.int32(-(1 << idx_bits))
-        packed = (jax.lax.bitcast_convert_type(tall, i32) & hi) | iota
-        pm = jnp.min(packed, axis=0)[None, :]
-        return pm & jnp.int32((1 << idx_bits) - 1), pm
 
     s0 = jnp.zeros((1, T), i32)
     rid0 = ray_id(s0)
@@ -495,16 +599,41 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
         od = ox * dx + oy * dy + oz * dz
         oo = ox * ox + oy * oy + oz * oz
 
-        # ---- spheres: gated per-cluster sweep + fold ----
         # Inverse direction for the slab gates (components can be 0: the
         # min/max form absorbs the resulting infs; an exact on-plane
         # origin yields NaN -> gate false for that lane — measure-zero,
         # same semantics as intersect_clustered).
+        ivx = _recip(dx)
+        ivy = _recip(dy)
+        ivz = _recip(dz)
+
+        def slab_gate_box(bx, bound):
+            """Tile-granular gate: any lane's slab interval reaches the
+            box within [t_min, bound(lane)].  near/far are inflated by a
+            few ulp so the f32 slab arithmetic stays CONSERVATIVE — an
+            exact-boundary hit must never be gated away (without this, a
+            gated and an ungated schedule can disagree by one knife-edge
+            winner, the ~1e-6-relative radiance drift seen between gate
+            modes in FIELDBENCH_r5)."""
+            mnx, mny, mnz, mxx, mxy, mxz = bx
+            t0x, t1x = (mnx - ox) * ivx, (mxx - ox) * ivx
+            t0y, t1y = (mny - oy) * ivy, (mxy - oy) * ivy
+            t0z, t1z = (mnz - oz) * ivz, (mxz - oz) * ivz
+            near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                          jnp.maximum(t0y, t1y)),
+                              jnp.maximum(t0z, t1z))
+            near = near * f32(1.0 - 4e-6) - f32(1e-6)
+            far = far * f32(1.0 + 4e-6) + f32(1e-6)
+            gate = active & (jnp.maximum(near, t_min)
+                             <= jnp.minimum(far, bound))
+            return jnp.any(gate)
+
+        # ---- spheres: gated per-cluster sweep + fold ----
         t_s = jnp.full((1, T), f32(_BIG))
         if ns:
-            ivx = _recip(dx)
-            ivy = _recip(dy)
-            ivz = _recip(dz)
             # Fold state lives in VMEM scratch so each cluster's sweep can
             # be a pl.when body (skipped compute when no lane gates in):
             # row 0 = best t, rows 1..16 = the winner's 16 payload rows.
@@ -545,34 +674,27 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
                         & (mnz <= obz1 + m) & (mxz >= obz0 - m))
 
             def slab_gate(kcl):
-                mnx, mny, mnz, mxx, mxy, mxz = cluster_box(kcl)
-                t0x, t1x = (mnx - ox) * ivx, (mxx - ox) * ivx
-                t0y, t1y = (mny - oy) * ivy, (mxy - oy) * ivy
-                t0z, t1z = (mnz - oz) * ivz, (mxz - oz) * ivz
-                near = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
-                                               jnp.minimum(t0y, t1y)),
-                                   jnp.minimum(t0z, t1z))
-                far = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
-                                              jnp.maximum(t0y, t1y)),
-                                  jnp.maximum(t0z, t1z))
-                gate = active & (jnp.maximum(near, t_min)
-                                 <= jnp.minimum(far, acc_ref[0:1, :]))
-                return jnp.any(gate)
+                return slab_gate_box(cluster_box(kcl), acc_ref[0:1, :])
+
+            def super_box(s):
+                return (sbox_ref[s, 0], sbox_ref[s, 1], sbox_ref[s, 2],
+                        sbox_ref[s, 3], sbox_ref[s, 4], sbox_ref[s, 5])
 
             # The sweep runs for the whole tile when ANY lane wants this
             # cluster; the fold stays per-lane correct because a
             # non-gated lane can only be improved by a real closer hit
             # (its own slab interval just proved there is none, so
             # `better` is false for it).
-            def make_sweep(kcl):
-                j0 = kcl * _LANE
+            def make_sweep_span(kc0, kc1):
+                j0 = kc0 * _LANE
+                w = (kc1 - kc0) * _LANE
 
-                def _sweep(j0=j0):
-                    acc_ref[17:18, :] = acc_ref[17:18, :] + 1.0
-                    cx = mx_ref[j0:j0 + _LANE, 0:1]
-                    cy = mx_ref[j0:j0 + _LANE, 1:2]
-                    cz = mx_ref[j0:j0 + _LANE, 2:3]
-                    c0 = mx_ref[j0:j0 + _LANE, 3:4]
+                def _sweep(j0=j0, w=w, nc=kc1 - kc0):
+                    acc_ref[17:18, :] = acc_ref[17:18, :] + f32(nc)
+                    cx = mx_ref[j0:j0 + w, 0:1]
+                    cy = mx_ref[j0:j0 + w, 1:2]
+                    cz = mx_ref[j0:j0 + w, 2:3]
+                    c0 = mx_ref[j0:j0 + w, 3:4]
                     dc = cx * dx + cy * dy + cz * dz
                     oc_ = cx * ox + cy * oy + cz * oz
                     bq = od - dc
@@ -583,17 +705,17 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
                     tf_ = sq - bq
                     tall = jnp.where(tn > t_min, tn,
                                      jnp.where(tf_ > t_min, tf_,
-                                               f32(_BIG)))   # (128, T)
+                                               f32(_BIG)))   # (w, T)
                     t_cl = jnp.min(tall, axis=0)[None, :]
-                    slot = jnp.min(jnp.where(tall == t_cl, iota_c,
-                                             i32(_LANE)), axis=0)[None, :]
+                    slot = jnp.min(jnp.where(tall == t_cl, iota_w[w],
+                                             i32(w)), axis=0)[None, :]
                     t_cur = acc_ref[0:1, :]
                     better = t_cl < t_cur
                     # Winner payload: one-hot MXU extraction of the 16
                     # rows, merged under the same better mask.
-                    oh = (iota_c == slot).astype(f32)
+                    oh = (iota_w[w] == slot).astype(f32)
                     ext = jax.lax.dot_general(
-                        sph_ref[:, j0:j0 + _LANE], oh,
+                        sph_ref[:, j0:j0 + w], oh,
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST)  # (16, T)
@@ -603,12 +725,25 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
 
                 return _sweep
 
+            def make_sweep(kcl):
+                return make_sweep_span(kcl, kcl + 1)
+
             if kc == 1 or gate_mode == "all":
                 for kcl in range(kc):
                     make_sweep(kcl)()   # ungated: cost baseline / 1 cluster
             elif gate_mode == "slab":
                 for kcl in range(kc):
                     pl.when(slab_gate(kcl))(make_sweep(kcl))
+            elif gate_mode == "hier":
+                # One slab gate per spatial SUPERGROUP; a fired group
+                # sweeps all its children as ONE fused-width sweep.
+                # Gate sites drop ~8x and per-sweep fixed costs amortize
+                # over the span (FIELDBENCH_r5 decomposition: ~0.3 us
+                # per gate site + ~1.1 us fixed per sweep invocation).
+                for s, (c0, c1) in enumerate(super_spans):
+                    gate = (slab_gate(c0) if c1 - c0 == 1 else
+                            slab_gate_box(super_box(s), acc_ref[0:1, :]))
+                    pl.when(gate)(make_sweep_span(c0, c1))
             elif use_adj:
                 # Phase 1: clusters adjacent to any lane's last-hit grid
                 # cell.  One-hot cell union (c_pad, T) -> lane-reduce ->
@@ -649,96 +784,108 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, adj_ref,
              sscale, soid, smtype, stextype, sinvr) = [
                 acc_ref[r:r + 1, :] for r in range(1, 17)]
 
-        # ---- triangles: dense sweep (megakernel path, unchanged) ----
+        # ---- triangles: gated per-cluster sweep + fold (r5) ----
+        # Same two-level scheme as the spheres; the fold keeps the EXACT
+        # winner t (no packed truncation -> no winner-t replay).  Fold
+        # scratch rows: 18 = best t, 19..33 = extracted payload rows
+        # 9..23 of the winner (normal, param, albedo, albedo2, scale,
+        # orig id, mat type, tex type).  Gate bound = min(sphere best t,
+        # tri best t) — the sphere fold ran first.
         t_t = jnp.full((1, T), f32(_BIG))
         if nt:
-            v0x = tri_ref[0, :][:, None]
-            v0y = tri_ref[1, :][:, None]
-            v0z = tri_ref[2, :][:, None]
-            e1x = tri_ref[3, :][:, None]
-            e1y = tri_ref[4, :][:, None]
-            e1z = tri_ref[5, :][:, None]
-            e2x = tri_ref[6, :][:, None]
-            e2y = tri_ref[7, :][:, None]
-            e2z = tri_ref[8, :][:, None]
-            px_ = dy * e2z - dz * e2y
-            py_ = dz * e2x - dx * e2z
-            pz_ = dx * e2y - dy * e2x
-            det = e1x * px_ + e1y * py_ + e1z * pz_
-            ok = jnp.abs(det) > 1e-9
-            inv = jnp.where(ok, _recip(jnp.where(ok, det, 1.0)), 0.0)
-            tvx = ox - v0x
-            tvy = oy - v0y
-            tvz = oz - v0z
-            uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            vv = (dx * qx + dy * qy + dz * qz) * inv
-            tt = (e2x * qx + e2y * qy + e2z * qz) * inv
-            hitm = (ok & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
-                    & (tt > t_min) & (tt < _BIG))
-            tallt = jnp.where(hitm, tt, f32(_BIG))
-            if emit_tape:
-                # Exact (min t, min slot) — the recorder path must not
-                # inherit packed_min's truncated-t tie flips (VERDICT r4
-                # item 7); the sphere fold is already exact.
-                t_clt = jnp.min(tallt, axis=0)[None, :]
-                pt = jnp.min(jnp.where(tallt == t_clt, iota_t,
-                                       i32(nt_pad)), axis=0)[None, :]
+            acc_ref[18:19, :] = jnp.full((1, T), f32(_BIG))
+            acc_ref[19:34, :] = jnp.zeros((15, T), f32)
+
+            def tri_box(ktc):
+                return (tbox_ref[ktc, 0], tbox_ref[ktc, 1],
+                        tbox_ref[ktc, 2], tbox_ref[ktc, 3],
+                        tbox_ref[ktc, 4], tbox_ref[ktc, 5])
+
+            def tri_super_box(s):
+                return (tsbox_ref[s, 0], tsbox_ref[s, 1], tsbox_ref[s, 2],
+                        tsbox_ref[s, 3], tsbox_ref[s, 4], tsbox_ref[s, 5])
+
+            def tri_bound():
+                b = acc_ref[18:19, :]
+                return jnp.minimum(acc_ref[0:1, :], b) if ns else b
+
+            def make_tsweep_span(kt0, kt1):
+                j0 = kt0 * _LANE
+                w = (kt1 - kt0) * _LANE
+
+                def _tsweep(j0=j0, w=w, nc=kt1 - kt0):
+                    acc_ref[17:18, :] = acc_ref[17:18, :] + f32(nc)
+                    v0x = tri_ref[0, j0:j0 + w][:, None]
+                    v0y = tri_ref[1, j0:j0 + w][:, None]
+                    v0z = tri_ref[2, j0:j0 + w][:, None]
+                    e1x = tri_ref[3, j0:j0 + w][:, None]
+                    e1y = tri_ref[4, j0:j0 + w][:, None]
+                    e1z = tri_ref[5, j0:j0 + w][:, None]
+                    e2x = tri_ref[6, j0:j0 + w][:, None]
+                    e2y = tri_ref[7, j0:j0 + w][:, None]
+                    e2z = tri_ref[8, j0:j0 + w][:, None]
+                    px_ = dy * e2z - dz * e2y
+                    py_ = dz * e2x - dx * e2z
+                    pz_ = dx * e2y - dy * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > 1e-9
+                    inv = jnp.where(ok, _recip(jnp.where(ok, det, 1.0)),
+                                    0.0)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (tvx * px_ + tvy * py_ + tvz * pz_) * inv
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hitm = (ok & (uu >= 0.0) & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > t_min) & (tt < _BIG))
+                    tall = jnp.where(hitm, tt, f32(_BIG))   # (w, T)
+                    t_cl = jnp.min(tall, axis=0)[None, :]
+                    slot = jnp.min(jnp.where(tall == t_cl, iota_w[w],
+                                             i32(w)),
+                                   axis=0)[None, :]
+                    t_cur = acc_ref[18:19, :]
+                    better = t_cl < t_cur
+                    oh = (iota_w[w] == slot).astype(f32)
+                    ext = jax.lax.dot_general(
+                        tri_ref[:, j0:j0 + w], oh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST)  # (24, T)
+                    acc_ref[18:19, :] = jnp.where(better, t_cl, t_cur)
+                    acc_ref[19:34, :] = jnp.where(better, ext[9:24],
+                                                  acc_ref[19:34, :])
+
+                return _tsweep
+
+            def make_tsweep(ktc):
+                return make_tsweep_span(ktc, ktc + 1)
+
+            if kt == 1 or gate_mode == "all":
+                for ktc in range(kt):
+                    make_tsweep(ktc)()
+            elif gate_mode == "hier":
+                for s, (c0, c1) in enumerate(tri_super_spans):
+                    gate = (slab_gate_box(tri_box(c0), tri_bound())
+                            if c1 - c0 == 1 else
+                            slab_gate_box(tri_super_box(s), tri_bound()))
+                    pl.when(gate)(make_tsweep_span(c0, c1))
             else:
-                pt, _ = packed_min(tallt, iota_t, idx_bits_t)
+                for ktc in range(kt):
+                    pl.when(slab_gate_box(tri_box(ktc),
+                                          tri_bound()))(make_tsweep(ktc))
 
-            oh_t = (iota_t == pt).astype(f32)
-            res_t = jax.lax.dot_general(
-                tri_ref[:, :], oh_t,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=jax.lax.Precision.HIGHEST)
-
-            def pickt(rows):
-                return [res_t[k:k + 1, :] for k in rows]
-
-            (tnx, tny, tnz, tparam) = pickt((9, 10, 11, 12))
-            (ta0r, ta0g, ta0b) = pickt((13, 14, 15))
-            if emit_tape:
-                (toid,) = pickt((20,))
-            if has_checker:
-                (ta1r, ta1g, ta1b, tscale_t) = pickt((16, 17, 18, 19))
-            g = tri_groups
-            t_metal = ((pt >= g[2]) & (pt < g[4])) if g[4] > g[2] else None
-            t_diel = (pt >= g[4]) if g[6] > g[4] else None
-            t_check = None
-            for lo, hi in ((g[1], g[2]), (g[3], g[4]), (g[5], g[6])):
-                if hi > lo:
-                    m = (pt >= lo) & (pt < hi)
-                    t_check = m if t_check is None else (t_check | m)
-            false = jnp.zeros(pt.shape, jnp.bool_)
-            t_metal = false if t_metal is None else t_metal
-            t_diel = false if t_diel is None else t_diel
-            t_check = false if t_check is None else t_check
-            # Winner-t replay on the extracted rows (packed selection
-            # truncated the candidate t).
-            (wv0x, wv0y, wv0z, we1x, we1y, we1z, we2x, we2y,
-             we2z) = pickt(tuple(range(9)))
-            wpx = dy * we2z - dz * we2y
-            wpy = dz * we2x - dx * we2z
-            wpz = dx * we2y - dy * we2x
-            wdet = we1x * wpx + we1y * wpy + we1z * wpz
-            wok = jnp.abs(wdet) > 1e-9
-            winv = jnp.where(wok, _recip(jnp.where(wok, wdet, 1.0)), 0.0)
-            wtx = ox - wv0x
-            wty = oy - wv0y
-            wtz = oz - wv0z
-            wuu = (wtx * wpx + wty * wpy + wtz * wpz) * winv
-            wqx = wty * we1z - wtz * we1y
-            wqy = wtz * we1x - wtx * we1z
-            wqz = wtx * we1y - wty * we1x
-            wvv = (dx * wqx + dy * wqy + dz * wqz) * winv
-            wtt = (we2x * wqx + we2y * wqy + we2z * wqz) * winv
-            whit = (wok & (wuu >= 0.0) & (wvv >= 0.0) & (wuu + wvv <= 1.0)
-                    & (wtt > t_min) & (wtt < _BIG))
-            t_t = jnp.where(whit, wtt, f32(_BIG))
+            t_t = acc_ref[18:19, :]
+            (tnx, tny, tnz, tparam, ta0r, ta0g, ta0b, ta1r, ta1g, ta1b,
+             tscale_t, toid, tmtype, ttextype) = [
+                acc_ref[r:r + 1, :] for r in range(19, 33)]
+            t_metal = tmtype == 1.0
+            t_diel = tmtype == 2.0
+            t_check = ttextype == 1.0
 
         is_tri = t_t < t_s
         t_best = jnp.where(is_tri, t_t, t_s)
@@ -998,17 +1145,21 @@ def _unpack_perm_band(total_pixels, tile, k_pix):
     return jnp.asarray(pos, jnp.int32)
 
 
-def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
+def _mega_clustered_call(cam, key, pix0, boxes, sboxes, tboxes, tsboxes,
+                         adj, sph, mx,
+                         tri, *,
                          nx, ny,
-                         spp, max_depth, t_min, ns, nt, kc, tri_groups,
-                         has_checker, tile0=0, n_tiles=None,
+                         spp, max_depth, t_min, ns, nt, kc, kt=1,
+                         tri_groups=None,
+                         has_checker=False, tile0=0, n_tiles=None,
                          total_pixels=None, spp_total=None,
                          interpret=False, tile=TILE, k_pix=PIX_PER_LANE,
                          tile_w=128, unroll=2, margin=0.0,
                          gate_mode="slab", mapping="band",
                          lanes_total=None, grid_lo=(0.0, 0.0, 0.0),
                          grid_inv=(1.0, 1.0, 1.0), grid_dims=(1, 1, 1),
-                         emit_tape=False):
+                         super_spans=((0, 1),),
+                         tri_super_spans=((0, 1),), emit_tape=False):
     """Launch over ``n_tiles`` 2D pixel tiles starting at ``tile0``.
 
     Returns the raw (3K, lanes) radiance blocks (use ``_unpack_perm`` to
@@ -1018,9 +1169,6 @@ def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
     """
     if not t_min > 0.0:
         raise ValueError(f"clustered megakernel requires t_min > 0")
-    if tri.shape[1] > (1 << 14):
-        raise ValueError("dense triangle path supports at most 2^14 "
-                         "padded triangles")
     if total_pixels is None:
         total_pixels = nx * ny
     if spp_total is None:
@@ -1041,11 +1189,13 @@ def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
         _mega_clustered_kernel, nx=nx, ny=ny, spp=spp, max_depth=max_depth,
         t_min=t_min, tile_w=tile_w, grid_w=grid_w,
         total_pixels=total_pixels,
-        spp_total=spp_total, ns=ns, nt=nt, kc=kc, tile=tile, k_pix=k_pix,
-        unroll=1 if interpret else unroll, tri_groups=tri_groups,
+        spp_total=spp_total, ns=ns, nt=nt, kc=kc, kt=kt, tile=tile,
+        k_pix=k_pix,
+        unroll=1 if interpret else unroll,
         has_checker=has_checker, margin=margin, gate_mode=gate_mode,
         mapping=mapping, lanes_total=lanes_total, grid_lo=grid_lo,
-        grid_inv=grid_inv, grid_dims=grid_dims, emit_tape=emit_tape)
+        grid_inv=grid_inv, grid_dims=grid_dims, super_spans=super_spans,
+        tri_super_spans=tri_super_spans, emit_tape=emit_tape)
     rpad_t = -(-(k_pix * spp * (max_depth + 1)) // 8) * 8
     extra_specs = ()
     extra_shapes = ()
@@ -1062,6 +1212,9 @@ def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),   # cluster boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # supergroup boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri cluster boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
             pl.BlockSpec((adj.shape[0], adj.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # cell->cluster adj
             pl.BlockSpec((sph.shape[0], sph.shape[1]), lambda i: (0, 0),
@@ -1087,20 +1240,22 @@ def _mega_clustered_call(cam, key, pix0, boxes, adj, sph, mx, tri, *,
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
             jax.ShapeDtypeStruct((1, lanes), jnp.int32),
         ) + extra_shapes,
-        scratch_shapes=[pltpu.VMEM((24, tile), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((40, tile), jnp.float32)],
         interpret=interpret,
-    )(cam, key, pix0, boxes, adj, sph, mx, tri)
+    )(cam, key, pix0, boxes, sboxes, tboxes, tsboxes, adj, sph, mx, tri)
     return outs
 
 
 _mega_clustered_jit = jax.jit(
     _mega_clustered_call,
     static_argnames=("nx", "ny", "spp", "max_depth", "t_min", "ns", "nt",
-                     "kc", "tri_groups", "has_checker", "tile0", "n_tiles",
+                     "kc", "kt", "tri_groups", "has_checker", "tile0",
+                     "n_tiles",
                      "total_pixels", "spp_total", "interpret", "tile",
                      "k_pix", "tile_w", "unroll", "margin", "gate_mode",
                      "mapping", "lanes_total", "grid_lo", "grid_inv",
-                     "grid_dims", "emit_tape"))
+                     "grid_dims", "super_spans", "tri_super_spans",
+                     "emit_tape"))
 
 
 @functools.partial(jax.jit, static_argnames=("k_pix", "n_tiles", "tile"))
@@ -1125,16 +1280,18 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     rad, seg, its, swp = _mega_clustered_jit(
-        cam, key, None, pack.boxes, pack.adj, pack.sph, pack.sph_mx,
-        pack.tris,
+        cam, key, None, pack.boxes, pack.super_boxes, pack.tri_boxes,
+        pack.tri_super_boxes, pack.adj, pack.sph,
+        pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
-        kc=pack.clusters, tri_groups=pack.tri_groups,
+        kc=pack.clusters, kt=pack.tri_clusters,
         has_checker=pack.has_checker, interpret=interpret, tile=tile,
         k_pix=k_pix, tile_w=tile_w, unroll=unroll,
         margin=pack.phase1_margin, gate_mode=gate_mode, mapping=mapping,
         grid_lo=pack.grid_lo, grid_inv=pack.grid_inv,
-        grid_dims=pack.grid_dims)
+        grid_dims=pack.grid_dims, super_spans=pack.super_spans,
+        tri_super_spans=pack.tri_super_spans)
     kp, tw, th, gw, gh, n_tiles = _tile_geometry(cfg.nx, cfg.ny, tile,
                                                  k_pix, tile_w)
     total = cfg.num_pixels
@@ -1195,26 +1352,30 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
 
     @_partial(jax.jit, static_argnames=())
     @_partial(shard_map, mesh=mesh,
-              in_specs=(P(), P(), P(), P(), P(), P(), P()),
+              in_specs=(P(),) * 10,
               out_specs=P(None, TILE_AXIS), check_vma=False)
-    def run(cam, key, boxes, adj, sph, mx, tri):
+    def run(cam, key, boxes, sboxes, tboxes, tsboxes, adj, sph, mx, tri):
         idx = jax.lax.axis_index(TILE_AXIS)
         pix0 = jnp.stack([idx * t_local,
                           jnp.zeros((), jnp.int32)]).reshape(1, 2)
         rad, _, _, _ = _mega_clustered_call(
-            cam, key, pix0, boxes, adj, sph, mx, tri, nx=cfg.nx,
+            cam, key, pix0, boxes, sboxes, tboxes, tsboxes, adj, sph, mx,
+            tri, nx=cfg.nx,
             ny=cfg.ny,
             spp=cfg.spp, max_depth=cfg.max_depth, t_min=float(cfg.t_min),
             ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
-            tri_groups=pack.tri_groups, has_checker=pack.has_checker,
+            kt=pack.tri_clusters, has_checker=pack.has_checker,
             n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
             margin=pack.phase1_margin, mapping="band",
             lanes_total=lanes_total, grid_lo=pack.grid_lo,
-            grid_inv=pack.grid_inv, grid_dims=pack.grid_dims)
+            grid_inv=pack.grid_inv, grid_dims=pack.grid_dims,
+            super_spans=pack.super_spans,
+            tri_super_spans=pack.tri_super_spans)
         return rad
 
-    rad = run(cam, key, pack.boxes, pack.adj, pack.sph, pack.sph_mx,
-              pack.tris)
+    rad = run(cam, key, pack.boxes, pack.super_boxes, pack.tri_boxes,
+              pack.tri_super_boxes, pack.adj, pack.sph,
+              pack.sph_mx, pack.tris)
     g_total = n_shards * t_local
     perm = _unpack_perm_band(total, tile, kp)
     pix_rad = _assemble(rad, perm, kp, g_total, tile)

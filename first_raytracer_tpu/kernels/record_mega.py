@@ -619,17 +619,20 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
 
 @functools.partial(
     jax.jit, static_argnames=("nx", "ny", "spp_total", "max_depth",
-                              "t_min", "ns", "nt", "kc", "tri_groups",
+                              "t_min", "ns", "nt", "kc",
                               "has_checker", "tile0", "n_tiles",
                               "interpret", "tile", "k_pix", "unroll",
                               "margin", "gate_mode", "grid_lo",
-                              "grid_inv", "grid_dims", "off", "n_out",
-                              "spp_sizes"))
-def _record_megac2(cam, key, boxes, adj, sph, mx, tri, *, nx, ny,
-                   spp_total, max_depth, t_min, ns, nt, kc, tri_groups,
+                              "grid_inv", "grid_dims", "super_spans",
+                              "kt", "tri_super_spans",
+                              "off", "n_out", "spp_sizes"))
+def _record_megac2(cam, key, boxes, sboxes, tboxes, tsboxes, adj, sph,
+                   mx, tri, *, nx, ny,
+                   spp_total, max_depth, t_min, ns, nt, kc, kt,
                    has_checker, tile0, n_tiles, interpret, tile, k_pix,
                    unroll, margin, gate_mode, grid_lo, grid_inv,
-                   grid_dims, off, n_out, spp_sizes):
+                   grid_dims, super_spans, tri_super_spans, off, n_out,
+                   spp_sizes):
     """Clustered-megakernel tape record (band mapping), VMEM-sized spp
     batches — the large-scene counterpart of ``_record_mega2``."""
     from .megakernel_clustered import _mega_clustered_call
@@ -640,13 +643,17 @@ def _record_megac2(cam, key, boxes, adj, sph, mx, tri, *, nx, ny,
     for spb in spp_sizes:
         pix0 = jnp.asarray([[tile0, b0]], jnp.int32)
         outs = _mega_clustered_call(
-            cam, key, pix0, boxes, adj, sph, mx, tri, nx=nx, ny=ny,
+            cam, key, pix0, boxes, sboxes, tboxes, tsboxes, adj, sph, mx,
+            tri, nx=nx,
+            ny=ny,
             spp=spb, max_depth=max_depth, t_min=t_min, ns=ns, nt=nt,
-            kc=kc, tri_groups=tri_groups, has_checker=has_checker,
+            kc=kc, kt=kt, has_checker=has_checker,
             n_tiles=n_tiles, spp_total=spp_total, interpret=interpret,
             tile=tile, k_pix=k_pix, unroll=unroll, margin=margin,
             gate_mode=gate_mode, mapping="band", grid_lo=grid_lo,
-            grid_inv=grid_inv, grid_dims=grid_dims, emit_tape=True)
+            grid_inv=grid_inv, grid_dims=grid_dims,
+            super_spans=super_spans, tri_super_spans=tri_super_spans,
+            emit_tape=True)
         tape_b = outs[4]                       # (rpad, lanes), ids + 1
         S = k_pix * spb
         lanes = tape_b.shape[1]
@@ -667,7 +674,7 @@ def record_paths_mega_clustered(pack, camera, cfg, key, ray0: int = 0,
                                 spp_total: int = None,
                                 interpret: bool = False, tile: int = TILE,
                                 k_pix: int = 8, unroll: int = 2,
-                                gate_mode: str = "slab",
+                                gate_mode: str = "hier",
                                 spp_sizes=None):
     """(max_depth+1, R) i32 primitive tape via the CLUSTERED megakernel.
 
@@ -700,14 +707,17 @@ def record_paths_mega_clustered(pack, camera, cfg, key, ray0: int = 0,
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
     return _record_megac2(
-        cam, keya, pack.boxes, pack.adj, pack.sph, pack.sph_mx, pack.tris,
+        cam, keya, pack.boxes, pack.super_boxes, pack.tri_boxes,
+        pack.tri_super_boxes, pack.adj, pack.sph,
+        pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),
         ns=pack.sphere_rows, nt=pack.tri_rows, kc=pack.clusters,
-        tri_groups=pack.tri_groups, has_checker=pack.has_checker,
+        kt=pack.tri_clusters, has_checker=pack.has_checker,
         tile0=tile0, n_tiles=t1 - tile0, interpret=interpret, tile=tile,
         k_pix=k_pix, unroll=unroll, margin=pack.phase1_margin,
         gate_mode=gate_mode, grid_lo=pack.grid_lo, grid_inv=pack.grid_inv,
-        grid_dims=pack.grid_dims,
+        grid_dims=pack.grid_dims, super_spans=pack.super_spans,
+        tri_super_spans=pack.tri_super_spans,
         off=ray0 - tile0 * blk * spp_total, n_out=num_rays,
         spp_sizes=spp_sizes)

@@ -177,12 +177,70 @@ def sphere_field(n=20000, nx=800, ny=450, spp=4, seed=11):
     return b.build(), cam, RenderConfig(nx=nx, ny=ny, spp=spp)
 
 
+def triangle_field(n=20000, nx=800, ny=450, spp=4, seed=13):
+    """Large-scene TRIANGLE stress workload: a jittered heightfield of
+    ~n triangles (grid of quads, two triangles each) under the same
+    camera family as sphere_field.
+
+    The regime where the clustered megakernel's triangle clusters earn
+    their keep (r5; the dense tri sweep is linear in scene size and its
+    packed selection caps at 2^14).  Material roulette matches the
+    sphere presets so all three scatter paths appear.
+    """
+    rng_ = np.random.RandomState(seed)
+    b = SceneBuilder()
+    side = int(np.ceil(np.sqrt(max(n, 2) / 2.0)))
+    pitch = 1.0
+    # Jittered heightfield vertices: (side+1)^2 grid points.
+    xs = (np.arange(side + 1) - side / 2.0) * pitch
+    zs = (np.arange(side + 1) - side / 2.0) * pitch
+    hx, hz = np.meshgrid(xs, zs, indexing="ij")
+    hy = 0.25 * np.sin(hx * 0.7) * np.cos(hz * 0.6) + 0.1 * rng_.rand(
+        side + 1, side + 1)
+    mats = []
+    for _ in range(64):
+        choose = rng_.rand()
+        if choose < 0.8:
+            mats.append(b.lambertian(rng_.rand(3) * rng_.rand(3)))
+        elif choose < 0.95:
+            mats.append(b.metal(0.5 * (1.0 + rng_.rand(3)),
+                                fuzz=0.5 * rng_.rand()))
+        else:
+            mats.append(b.dielectric(1.5))
+    made = 0
+    for i in range(side):
+        for j in range(side):
+            if made >= n:
+                break
+            m = mats[rng_.randint(len(mats))]
+            p00 = (hx[i, j], hy[i, j], hz[i, j])
+            p10 = (hx[i + 1, j], hy[i + 1, j], hz[i + 1, j])
+            p01 = (hx[i, j + 1], hy[i, j + 1], hz[i, j + 1])
+            p11 = (hx[i + 1, j + 1], hy[i + 1, j + 1], hz[i + 1, j + 1])
+            b.triangle(p00, p01, p10, m)
+            made += 1
+            if made >= n:
+                break
+            b.triangle(p10, p01, p11, m)
+            made += 1
+    # Three feature spheres so the mixed-primitive path stays exercised.
+    b.sphere((0.0, 1.2, 0.0), 1.0, b.dielectric(1.5))
+    b.sphere((-4.0, 1.2, 0.0), 1.0, b.lambertian((0.4, 0.2, 0.1)))
+    b.sphere((4.0, 1.2, 0.0), 1.0, b.metal((0.7, 0.6, 0.5), fuzz=0.0))
+    span = pitch * side
+    cam = make_camera((1.3 * span / 2, span / 6, span / 3), (0, 0, 0),
+                      (0, 1, 0), 20.0, nx / ny, aperture=0.0,
+                      focus_dist=10.0)
+    return b.build(), cam, RenderConfig(nx=nx, ny=ny, spp=spp)
+
+
 PRESETS = {
     "three-spheres": three_spheres,
     "random-spheres": random_scene,
     "triangle-mesh": triangle_scene,
     "camera-effects": camera_showcase,
     "sphere-field": sphere_field,
+    "triangle-field": triangle_field,
 }
 
 

@@ -137,10 +137,12 @@ def test_all_pixel_mappings_match_dense(mapping):
     (triangle_scene, dict(nx=24, ny=12, spp=2)),
 ], ids=["random-spheres", "sphere-field", "triangle-mesh"])
 def test_adjacency_gate_mode_matches_slab(preset, kw):
-    """gate_mode="adj" (r5: hit-point-cell adjacency phase 1 + exact slab
-    phase 2) must be a pure scheduling change: same radiance, same
-    segment counts as the slab-gated kernel (which itself bit-matches the
-    dense megakernel)."""
+    """gate_mode="adj" (hit-point-cell adjacency phase 1 + exact slab
+    phase 2) and gate_mode="hier" (supergroup slab gates — the r5
+    default direction: one gate per <=8 spatially-grouped clusters) must
+    be pure scheduling changes: same radiance, same segment counts as
+    the slab-gated kernel (which itself bit-matches the dense
+    megakernel)."""
     from first_raytracer_tpu.core import rng as _rng
 
     scene, cam, cfg = preset(**kw)
@@ -148,12 +150,15 @@ def test_adjacency_gate_mode_matches_slab(preset, kw):
     key = _rng.base_key(0)
     r_slab, s_slab = render_pixels_mega_clustered(
         pack, cam, cfg, key, interpret=True, gate_mode="slab")
-    r_adj, s_adj, its, swp = render_pixels_mega_clustered(
-        pack, cam, cfg, key, interpret=True, gate_mode="adj",
-        return_iters=True)
-    np.testing.assert_allclose(np.asarray(r_adj), np.asarray(r_slab),
-                               rtol=0, atol=1e-6)
-    assert (np.asarray(s_adj) == np.asarray(s_slab)).all()
-    # The sweep counter is live and bounded by ungated cost.
-    trips = int(np.asarray(its).sum())
-    assert 0 < int(np.asarray(swp).sum()) <= trips * pack.clusters
+    for gm in ("adj", "hier"):
+        r_g, s_g, its, swp = render_pixels_mega_clustered(
+            pack, cam, cfg, key, interpret=True, gate_mode=gm,
+            return_iters=True)
+        np.testing.assert_allclose(np.asarray(r_g), np.asarray(r_slab),
+                                   rtol=0, atol=1e-6, err_msg=gm)
+        assert (np.asarray(s_g) == np.asarray(s_slab)).all(), gm
+        # The sweep counter is live and bounded by ungated cost
+        # (it counts sphere AND triangle cluster sweeps).
+        trips = int(np.asarray(its).sum())
+        assert 0 < int(np.asarray(swp).sum()) <= trips * (
+            pack.clusters + pack.tri_clusters)

@@ -36,14 +36,16 @@ from jax.experimental import pallas as pl  # noqa: E402
 from jax.experimental.pallas import tpu as pltpu  # noqa: E402
 
 
-def _fma_kernel(out_ref, *, iters, n_acc, rows, cols, op):
+def _fma_kernel(c_ref, out_ref, *, iters, n_acc, rows, cols, op):
     f32 = jnp.float32
     # Mosaic iota is integer-only; build the f32 ramp via convert.
     base = (jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
             .astype(f32) * f32(1e-4) + f32(0.5))
     accs = tuple(base + f32(0.01 * i) for i in range(n_acc))
-    c1 = f32(0.999999)
-    c2 = f32(1.3e-6)
+    # Runtime constants (SMEM): nothing about the recurrence is
+    # compile-time foldable.
+    c1 = c_ref[0, 0]
+    c2 = c_ref[0, 1]
 
     def body(_, accs):
         if op == "sqrt":
@@ -61,12 +63,18 @@ def _fma_kernel(out_ref, *, iters, n_acc, rows, cols, op):
 def run_fma(iters, n_acc, rows, cols, grid, op="fma"):
     kern = functools.partial(_fma_kernel, iters=iters, n_acc=n_acc,
                              rows=rows, cols=cols, op=op)
+    c = jnp.asarray([[0.999999, 1.3e-6]], jnp.float32)
     f = pl.pallas_call(
         kern, grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((rows, cols), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, cols * grid), jnp.float32))
-    return jax.block_until_ready(f())
+    # np.asarray of a result slice is the sync: a device->host readback
+    # cannot complete before the compute (block_until_ready alone has
+    # returned early through the axon tunnel before — the r3 incident).
+    import numpy as np
+    return float(np.asarray(f()[0, 0]))
 
 
 def _mxu_kernel(a_ref, out_ref, *, iters):
@@ -94,7 +102,8 @@ def run_mxu(iters, n, grid):
         out_specs=pl.BlockSpec((n, n), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, n * grid), jnp.float32))
-    return jax.block_until_ready(f(a))
+    import numpy as np
+    return float(np.asarray(f(a)[0, 0]))
 
 
 def timed(fn, reps=3):
@@ -109,14 +118,15 @@ def timed(fn, reps=3):
 
 
 def measure(label, make_fn, flops_of):
-    """Difference iters vs 2*iters to cancel fixed overhead."""
+    """Difference iters vs 4*iters to cancel fixed overhead."""
     t1 = timed(make_fn(1))
-    t2 = timed(make_fn(2))
-    dt = max(t2 - t1, 1e-9)
-    flops = flops_of(1)  # the extra work between 2x and 1x
+    t4 = timed(make_fn(4))
+    dt = max(t4 - t1, 1e-9)
+    flops = flops_of(3)  # the extra work between 4x and 1x
     rate = flops / dt
     row = dict(stage="roofline", test=label, t_1x=round(t1, 5),
-               t_2x=round(t2, 5), flops=flops, flops_per_s=rate)
+               t_4x=round(t4, 5), flops=flops, flops_per_s=rate,
+               sane=bool(t4 > 1.5 * t1))
     print(json.dumps(row), flush=True)
     return rate
 
@@ -127,28 +137,30 @@ def main():
     results = {}
 
     # Small blocks: the ceiling.  8 accumulators x (8, 128) f32.
-    it0, grid = 120_000, 64
+    # iters sized so device time >> the ~20 ms axon round-trip (the r5
+    # first attempt was swamped by launch latency at 1x AND 2x).
+    it0, grid = 1_500_000, 64
     results["fma_8x128"] = measure(
         "fma_8x128x8acc",
         lambda m: (lambda: run_fma(it0 * m, 8, 8, 128, grid)),
         lambda m: it0 * m * 8 * 8 * 128 * 2 * grid)
 
     # (64, 512) x 4 acc — intermediate.
-    it1 = 30_000
+    it1 = 400_000
     results["fma_64x512"] = measure(
         "fma_64x512x4acc",
         lambda m: (lambda: run_fma(it1 * m, 4, 64, 512, grid // 4)),
         lambda m: it1 * m * 4 * 64 * 512 * 2 * (grid // 4))
 
     # (512, 512) x 2 acc — the sweep's working shape (VMEM-resident).
-    it2 = 4_000
+    it2 = 60_000
     results["fma_512x512"] = measure(
         "fma_512x512x2acc",
         lambda m: (lambda: run_fma(it2 * m, 2, 512, 512, grid // 8)),
         lambda m: it2 * m * 2 * 512 * 512 * 2 * (grid // 8))
 
     # sqrt chain at the sweep shape.
-    it3 = 4_000
+    it3 = 60_000
     results["sqrt_512x512"] = measure(
         "sqrt_512x512x2acc",
         lambda m: (lambda: run_fma(it3 * m, 2, 512, 512, grid // 8,
@@ -156,7 +168,7 @@ def main():
         lambda m: it3 * m * 2 * 512 * 512 * 2 * (grid // 8))
 
     # MXU f32 HIGHEST (512,512)@(512,512).
-    it4 = 600
+    it4 = 8_000
     results["mxu_512"] = measure(
         "mxu_512_f32_highest",
         lambda m: (lambda: run_mxu(it4 * m, 512, 4)),
