@@ -217,12 +217,10 @@ def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
                   and max(scene.num_spheres, scene.num_triangles)
                   <= (1 << 14))
     # Past the dense kernel's 2^14 packed-selection budget, the CLUSTERED
-    # recorder takes over (exact per-cluster selection, no packed bound) —
-    # r4 silently fell back to the ~13x-slower wavefront recorder here
-    # (VERDICT r4 item 4).  Its triangle path stays dense, so only the
-    # triangle count keeps the 2^14 bound.
+    # recorder takes over (exact per-cluster selection for BOTH primitive
+    # types since r5, no packed bound) — r4 silently fell back to the
+    # ~13x-slower wavefront recorder here (VERDICT r4 item 4).
     use_clustered = (not use_kernel and in_range
-                     and scene.num_triangles <= (1 << 14)
                      and scene.num_primitives < (1 << 24))
 
     def step(params, opt_state, key):

@@ -28,24 +28,22 @@ persistent-lane design and adds the two-level culling of
   ``rect`` (tile_w x tile_h rectangle) mapping on every field scene.
   ``rect``/``stride`` remain selectable (``mapping=``) for regimes where
   their trade wins.
-- **Adjacency gates** (``gate_mode="adj"``, r5): the r4 slab gates
-  saturate because 512 isotropic bounce rays union-cover every cluster
-  whose per-ray hit probability exceeds ~1/512 — the gate fires on
-  direction statistics, which do not thin out in a dense field.  What
-  does stay small is geometric adjacency: a bounce ray's *origin* sits
-  on a surface, and in a dense field its next hit is almost always in a
-  nearby cluster.  So the host builds a uniform CELL GRID over robust
-  (percentile) scene bounds plus a static (cells x clusters) adjacency
-  table; each lane carries the grid cell of its last hit point, and
-  phase 1 sweeps exactly the clusters adjacent to any occupied cell
-  (one-hot cell union -> one (cells x clusters) matvec on the MXU ->
-  per-cluster scalar gates).  Phase 2 slab-gates every remaining
-  cluster against the per-lane best t that phase 1 tightened, so
-  correctness never depends on the adjacency table: a ray that escapes
-  its neighborhood (long free path, sky, camera rays at depth 0) is
-  caught by the exact slab test.  Hit-point cells (not winner-cluster
-  ids) make the scheme robust to the huge ground sphere, whose cluster
-  box overlaps everything.
+- **Hierarchical gates** (``gate_mode="hier"``, r5): the r5 sweep
+  counter overturned the r4 story — slab gates already fire (only
+  8-22% of clusters are swept per iteration on the field scenes); what
+  costs is the PER-SITE overhead: ~0.3 us per gate site plus ~1.1 us
+  fixed per sweep invocation (reduction pair + one-hot + extraction
+  matmul), regardless of predicate or sweep arithmetic
+  (FIELDBENCH_r5.json fit; ROADMAP.md "r5 resolution").  ``hier``
+  therefore SAH-groups <=8 clusters spatially under ONE slab gate and
+  sweeps a fired group as ONE fused (G*128, T) sweep — ~8x fewer gate
+  sites and ~8x fewer per-sweep fixed costs.
+- **Adjacency gates** (``gate_mode="adj"``, r5, kept as a measured
+  negative result): a uniform hit-point cell grid + static
+  cell->cluster adjacency table drive phase-1 sweeps, with exact slab
+  gates as phase 2.  Correct (bit-matches slab) but REGRESSES 1.5-2x on
+  the field scenes: its 256 extra scalar gate sites cost more than the
+  sweeps it reorders, per the same per-site economics above.
 - **Exact selection**: per swept cluster the winner is the exact
   (min t, min slot) — no packed-mantissa truncation — folded across
   clusters; the winner's 16 payload rows (geometry + material, material
@@ -559,19 +557,11 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
         gix, giy, giz = (f32(v) for v in grid_inv)
         gdx, gdy, gdz = grid_dims
 
-    # Slot iotas per distinct sweep width: gate_mode="hier" fuses a fired
-    # supergroup's children into ONE (G*128, T) sweep — one reduction
-    # pair, one one-hot, one extraction matmul instead of G of each (the
-    # measured per-sweep fixed cost of ~1.1 us dominates the large-scene
-    # iteration once gate sites are batched; FIELDBENCH_r5).
-    span_widths = {_LANE}
-    if gate_mode == "hier":
-        span_widths |= {(c1 - c0) * _LANE for c0, c1 in super_spans}
-        if nt:
-            span_widths |= {(c1 - c0) * _LANE
-                            for c0, c1 in tri_super_spans}
-    iota_w = {w: jax.lax.broadcasted_iota(i32, (w, T), 0)
-              for w in sorted(span_widths)}
+    # Slot iotas per distinct sweep width.  (Fused multi-cluster span
+    # sweeps were tried and MEASURED SLOWER than per-cluster sweeps —
+    # batch-4 fieldbench — so only the 128-slot width is used; the dict
+    # form remains for future width experiments.)
+    iota_w = {_LANE: jax.lax.broadcasted_iota(i32, (_LANE, T), 0)}
     iota_c = iota_w[_LANE]
     iota_k = jax.lax.broadcasted_iota(i32, (K, T), 0)
 
@@ -735,15 +725,21 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
                 for kcl in range(kc):
                     pl.when(slab_gate(kcl))(make_sweep(kcl))
             elif gate_mode == "hier":
-                # One slab gate per spatial SUPERGROUP; a fired group
-                # sweeps all its children as ONE fused-width sweep.
-                # Gate sites drop ~8x and per-sweep fixed costs amortize
-                # over the span (FIELDBENCH_r5 decomposition: ~0.3 us
-                # per gate site + ~1.1 us fixed per sweep invocation).
+                # One slab gate per spatial SUPERGROUP (gate sites drop
+                # ~8x; FIELDBENCH_r5 decomposition: ~0.3 us per gate
+                # site); a fired group sweeps its children as separate
+                # 128-slot sweeps — a fused (G*128, T) sweep was
+                # MEASURED SLOWER (batch-4 fieldbench: 1.42 vs 1.56
+                # Mpaths/s at field20000), the wide reduction pair and
+                # extraction matmul cost more than G narrow ones.
                 for s, (c0, c1) in enumerate(super_spans):
                     gate = (slab_gate(c0) if c1 - c0 == 1 else
                             slab_gate_box(super_box(s), acc_ref[0:1, :]))
-                    pl.when(gate)(make_sweep_span(c0, c1))
+
+                    def sweep_kids(c0=c0, c1=c1):
+                        for kcl in range(c0, c1):
+                            make_sweep(kcl)()
+                    pl.when(gate)(sweep_kids)
             elif use_adj:
                 # Phase 1: clusters adjacent to any lane's last-hit grid
                 # cell.  One-hot cell union (c_pad, T) -> lane-reduce ->
@@ -873,7 +869,11 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
                     gate = (slab_gate_box(tri_box(c0), tri_bound())
                             if c1 - c0 == 1 else
                             slab_gate_box(tri_super_box(s), tri_bound()))
-                    pl.when(gate)(make_tsweep_span(c0, c1))
+
+                    def tsweep_kids(c0=c0, c1=c1):
+                        for ktc in range(c0, c1):
+                            make_tsweep(ktc)()
+                    pl.when(gate)(tsweep_kids)
             else:
                 for ktc in range(kt):
                     pl.when(slab_gate_box(tri_box(ktc),
@@ -913,14 +913,19 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
             a0r = jnp.where(is_tri, ta0r, sa0r)
             a0g = jnp.where(is_tri, ta0g, sa0g)
             a0b = jnp.where(is_tri, ta0b, sa0b)
-            is_metal = jnp.where(is_tri, t_metal, smtype == 1.0)
-            is_diel = jnp.where(is_tri, t_diel, smtype == 2.0)
+            # Boolean merges use logical ops, not select: Mosaic cannot
+            # lower select_n on i1 vectors (i8->i1 trunc, seen on the
+            # trifield compile — this mixed branch never compiled
+            # on-chip before r5).
+            is_metal = (is_tri & t_metal) | (~is_tri & (smtype == 1.0))
+            is_diel = (is_tri & t_diel) | (~is_tri & (smtype == 2.0))
             if has_checker:
                 a1r = jnp.where(is_tri, ta1r, sa1r)
                 a1g = jnp.where(is_tri, ta1g, sa1g)
                 a1b = jnp.where(is_tri, ta1b, sa1b)
                 tscale = jnp.where(is_tri, tscale_t, sscale)
-                is_check = jnp.where(is_tri, t_check, stextype == 1.0)
+                is_check = ((is_tri & t_check)
+                            | (~is_tri & (stextype == 1.0)))
         elif ns:
             nxv = (px - scx) * sinvr
             nyv = (py - scy) * sinvr
@@ -1270,7 +1275,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  k_pix: int = PIX_PER_LANE,
                                  tile_w: int = 128,
                                  return_iters: bool = False,
-                                 unroll: int = 2, gate_mode: str = "slab",
+                                 unroll: int = 2, gate_mode: str = "hier",
                                  mapping: str = "band"):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,)).
 

@@ -493,10 +493,11 @@ _record_jit = jax.jit(
 
 
 # VMEM budget for the in-kernel tape block (K*spb*D rows x T lanes x 4B):
-# bounds spp-per-sweep so the block plus the sweep's (Ns_pad, T)
-# temporaries stay under the ~16 MB VMEM.  6 MiB leaves ~10 MB for
-# temps + tables (the dense megakernel's own working set).
-_TAPE_VMEM_BYTES = 6 << 20
+# bounds spp-per-sweep.  The r5 spb sweep measured the one-hot tape
+# write's cost growing with the block height: spb=3 batches (2.5 MB
+# block) beat both spb=1 (10 sweeps) and spb=5 (taller write) on the
+# headline record — 9.32 vs 10.6 / 9.72 ms (tools batch-4 spb_sweep).
+_TAPE_VMEM_BYTES = 2_600_000
 
 
 def _spp_batches(spp_total, k_pix, max_depth, tile):

@@ -40,10 +40,13 @@ def timeit(fn, reps=3):
 
 def main():
     print(json.dumps({"device": str(jax.devices()[0])}), flush=True)
+    from first_raytracer_tpu.scene.builders import triangle_field
+
     key = rng.base_key(0)
     cases = [("random500", random_scene()),
              ("field5000", sphere_field(n=5000)),
-             ("field20000", sphere_field(n=20000))]
+             ("field20000", sphere_field(n=20000)),
+             ("trifield20000", triangle_field(n=20000))]
     modes = sys.argv[1].split(",") if len(sys.argv) > 1 else ["slab",
                                                              "adj"]
     base = {}

@@ -74,7 +74,7 @@ def run_fma(iters, n_acc, rows, cols, grid, op="fma"):
     # cannot complete before the compute (block_until_ready alone has
     # returned early through the axon tunnel before — the r3 incident).
     import numpy as np
-    return float(np.asarray(f()[0, 0]))
+    return float(np.asarray(f(c)[0, 0]))
 
 
 def _mxu_kernel(a_ref, out_ref, *, iters):
