@@ -66,9 +66,12 @@ HISTORY = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "BENCH_HISTORY.json")
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "bench_golden.json")
-# Generous per-chip f32 op-rate ceiling for the plausibility guard: the
-# v5e VPU sustains ~1-2e12 f32 FLOP/s; anything implying >5e13 is a timing
-# artifact, not a render (the r3 incident implied ~8e16).
+# Generous per-chip f32 op-rate ceiling for the plausibility guard.  The
+# chip's sustained sweep rate was MEASURED in r5 at 2.0e12 FLOP/s via the
+# checksum-verified scene-pad differential (tools/sweep_cost_probe.py,
+# BASELINE.md "Measured roofline"); 5e13 sits 25x above it — anything
+# implying more is a timing artifact, not a render (the r3 incident
+# implied ~8e16).
 MAX_PLAUSIBLE_FLOPS = 5e13
 MAX_REPEAT_SPREAD = 3.0
 
@@ -169,9 +172,13 @@ def main():
         from first_raytracer_tpu.kernels.megakernel_clustered import (
             pack_scene_mega_clustered, render_pixels_mega_clustered)
         cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+        # hier (supergroup gates) is the measured default for sphere
+        # fields; slab wins on triangle-heavy scenes (FIELDBENCH_r5).
+        gate = os.environ.get("BENCH_GATE", "hier")
 
         def run():
-            rad, seg = render_pixels_mega_clustered(cpak, cam, cfg, key)
+            rad, seg = render_pixels_mega_clustered(cpak, cam, cfg, key,
+                                                    gate_mode=gate)
             return rad, seg
     elif mode == "grad":
         # Differentiable-pass throughput [BASELINE.json:11]: value+grad of

@@ -566,7 +566,7 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
                       k_rays: int = RAYS_PER_LANE, unroll: int = 2,
                       return_iters: bool = False,
                       skip_write: bool = False, impl: str = "mega",
-                      spp_sizes=None):
+                      spp_sizes=None, k_pix: int = 24):
     """(max_depth+1, R) i32 primitive tape for rays ``[ray0, ray0 + R)``.
 
     Drop-in fast producer for ``diff.replay.record_paths`` restricted to a
@@ -596,7 +596,7 @@ def record_paths_mega(pack: MegaScenePack, camera, cfg, key, ray0: int = 0,
             sph_groups=pack.sph_groups, tri_groups=pack.tri_groups,
             has_checker=pack.has_checker, p0=p0, P=p1 - p0,
             total_pixels=cfg.nx * cfg.ny, interpret=interpret, tile=tile,
-            k_pix=8, unroll=unroll, ns_cap=pack.spheres.shape[1],
+            k_pix=k_pix, unroll=unroll, ns_cap=pack.spheres.shape[1],
             off=ray0 - p0 * spp_total, n_out=num_rays,
             spp_sizes=spp_sizes)
         return tape
