@@ -129,7 +129,12 @@ def main():
         scene, cam, cfg = random_scene()  # 1200x800 @ 10spp, ~500 spheres
         metric_name = "Mpaths/s final-scene 1200x800@10spp"
     mode = os.environ.get("BENCH_MODE", "mega")
-    isect = os.environ.get("BENCH_INTERSECT", "pallas")
+    # Field scenes default to the clustered intersector: the dense pallas
+    # intersector's VMEM tile cannot hold 5k+ padded spheres (it is also
+    # only used for the untimed instrumentation pass in mega/grad modes).
+    isect = os.environ.get("BENCH_INTERSECT",
+                           "clustered" if scene_sel.startswith("field")
+                           else "pallas")
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     repeats = max(3, int(os.environ.get("BENCH_REPEATS", 3)))

@@ -727,18 +727,24 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
             elif gate_mode == "hier":
                 # One slab gate per spatial SUPERGROUP (gate sites drop
                 # ~8x; FIELDBENCH_r5 decomposition: ~0.3 us per gate
-                # site); a fired group sweeps its children as separate
-                # 128-slot sweeps — a fused (G*128, T) sweep was
-                # MEASURED SLOWER (batch-4 fieldbench: 1.42 vs 1.56
-                # Mpaths/s at field20000), the wide reduction pair and
-                # extraction matmul cost more than G narrow ones.
+                # EVALUATION), then per-child slab gates INSIDE a fired
+                # group — inner gates are only evaluated when the super
+                # fires (~8 supers x 8 children vs 256 flat sites), and
+                # each avoided child sweep saves ~1.1 us of fixed cost.
+                # A fused (G*128, T) span sweep was MEASURED SLOWER
+                # (batch-4 fieldbench: 1.42 vs 1.56 Mpaths/s at
+                # field20000): the wide reduction pair and extraction
+                # matmul cost more than G narrow ones.
                 for s, (c0, c1) in enumerate(super_spans):
                     gate = (slab_gate(c0) if c1 - c0 == 1 else
                             slab_gate_box(super_box(s), acc_ref[0:1, :]))
 
                     def sweep_kids(c0=c0, c1=c1):
-                        for kcl in range(c0, c1):
-                            make_sweep(kcl)()
+                        if c1 - c0 == 1:
+                            make_sweep(c0)()
+                        else:
+                            for kcl in range(c0, c1):
+                                pl.when(slab_gate(kcl))(make_sweep(kcl))
                     pl.when(gate)(sweep_kids)
             elif use_adj:
                 # Phase 1: clusters adjacent to any lane's last-hit grid
@@ -871,8 +877,13 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
                             slab_gate_box(tri_super_box(s), tri_bound()))
 
                     def tsweep_kids(c0=c0, c1=c1):
-                        for ktc in range(c0, c1):
-                            make_tsweep(ktc)()
+                        if c1 - c0 == 1:
+                            make_tsweep(c0)()
+                        else:
+                            for ktc in range(c0, c1):
+                                pl.when(slab_gate_box(
+                                    tri_box(ktc),
+                                    tri_bound()))(make_tsweep(ktc))
                     pl.when(gate)(tsweep_kids)
             else:
                 for ktc in range(kt):
