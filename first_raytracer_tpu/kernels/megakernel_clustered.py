@@ -727,24 +727,21 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
             elif gate_mode == "hier":
                 # One slab gate per spatial SUPERGROUP (gate sites drop
                 # ~8x; FIELDBENCH_r5 decomposition: ~0.3 us per gate
-                # EVALUATION), then per-child slab gates INSIDE a fired
-                # group — inner gates are only evaluated when the super
-                # fires (~8 supers x 8 children vs 256 flat sites), and
-                # each avoided child sweep saves ~1.1 us of fixed cost.
-                # A fused (G*128, T) span sweep was MEASURED SLOWER
-                # (batch-4 fieldbench: 1.42 vs 1.56 Mpaths/s at
-                # field20000): the wide reduction pair and extraction
-                # matmul cost more than G narrow ones.
+                # site); a fired group sweeps ALL its children — every
+                # finer-grained variant was built and MEASURED SLOWER:
+                # fused (G*128, T) span sweeps 1.42 vs 1.56 Mpaths/s at
+                # field20000 (wide reductions/extraction cost more than
+                # G narrow ones), and per-child gates INSIDE the fired
+                # super 1.20 vs 1.53 (nested gate evaluations cost more
+                # than the ~1.1 us/sweep they avoid, even though they
+                # cut swept children to exactly slab's counts).
                 for s, (c0, c1) in enumerate(super_spans):
                     gate = (slab_gate(c0) if c1 - c0 == 1 else
                             slab_gate_box(super_box(s), acc_ref[0:1, :]))
 
                     def sweep_kids(c0=c0, c1=c1):
-                        if c1 - c0 == 1:
-                            make_sweep(c0)()
-                        else:
-                            for kcl in range(c0, c1):
-                                pl.when(slab_gate(kcl))(make_sweep(kcl))
+                        for kcl in range(c0, c1):
+                            make_sweep(kcl)()
                     pl.when(gate)(sweep_kids)
             elif use_adj:
                 # Phase 1: clusters adjacent to any lane's last-hit grid
@@ -877,13 +874,8 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
                             slab_gate_box(tri_super_box(s), tri_bound()))
 
                     def tsweep_kids(c0=c0, c1=c1):
-                        if c1 - c0 == 1:
-                            make_tsweep(c0)()
-                        else:
-                            for ktc in range(c0, c1):
-                                pl.when(slab_gate_box(
-                                    tri_box(ktc),
-                                    tri_bound()))(make_tsweep(ktc))
+                        for ktc in range(c0, c1):
+                            make_tsweep(ktc)()
                     pl.when(gate)(tsweep_kids)
             else:
                 for ktc in range(kt):
