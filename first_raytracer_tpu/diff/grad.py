@@ -222,6 +222,17 @@ def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
     # ~13x-slower wavefront recorder here (VERDICT r4 item 4).
     use_clustered = (not use_kernel and in_range
                      and scene.num_primitives < (1 << 24))
+    clayout = None
+    if use_clustered:
+        # Freeze the clustering DECISIONS once: every jit-static pack
+        # attribute (cluster count, spans, grid scalars, margin) then
+        # stays bit-identical across per-step repacks, so the recorder
+        # never retraces as parameters move (boxes/payload tables are
+        # still recomputed from the current geometry each step).
+        from ..kernels.megakernel_clustered import (
+            pack_scene_mega_clustered)
+        _, clayout = pack_scene_mega_clustered(
+            scene, sort_from=camera.origin, return_layout=True)
 
     def step(params, opt_state, key):
         s = merge_params(scene, params)
@@ -236,7 +247,8 @@ def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
                 pack_scene_mega_clustered)
             from ..kernels.record_mega import record_paths_mega_clustered
             tape = record_paths_mega_clustered(
-                pack_scene_mega_clustered(s, sort_from=camera.origin),
+                pack_scene_mega_clustered(s, sort_from=camera.origin,
+                                          layout=clayout),
                 camera, cfg, key, ray0=ray0, num_rays=len(ids_np),
                 interpret=interpret)
         else:

@@ -81,6 +81,7 @@ from .megakernel import (_BIG, _TRI_ROWS, TILE, _bits_to_unit, _cam_smem,
                          _cbrt, _recip, _threefry2x32, _unit3)
 
 __all__ = ["pack_scene_mega_clustered", "MegaClusteredPack",
+           "ClusterLayout",
            "render_pixels_mega_clustered", "render_image_mega_clustered",
            "render_image_mega_clustered_sharded"]
 
@@ -102,6 +103,18 @@ PIX_PER_LANE = 96     # pixels per lane — same as the dense kernel.  The
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
+
+
+# Shared dummy adjacency block for non-"adj" gate modes (the kernel only
+# dereferences adj_ref under gate_mode == "adj").
+_DUMMY_ADJ = None  # created lazily (jnp at import time would init a backend)
+
+
+def _dummy_adj():
+    global _DUMMY_ADJ
+    if _DUMMY_ADJ is None:
+        globals()["_DUMMY_ADJ"] = jnp.zeros((8, _LANE), jnp.float32)
+    return _DUMMY_ADJ
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,10 +194,22 @@ def _build_cell_grid(bmin_all, bmax_all, boxes_np, target_cells=256,
     csz = ext / dims
     inv = np.where(csz > 1e-12, 1.0 / np.where(csz > 1e-12, csz, 1.0), 0.0)
 
+    adj = _cell_adj(tuple(lo), tuple(inv), (gx, gy, gz), boxes_np,
+                    adj_scale)
+    return (adj, tuple(float(x) for x in lo),
+            tuple(float(x) for x in inv), (gx, gy, gz))
+
+
+def _cell_adj(grid_lo, grid_inv, grid_dims, boxes_np, adj_scale=0.5):
+    """(cells_pad, clusters_pad) overlap table for a FIXED cell grid —
+    also used by layout-reusing repacks (grid frozen, boxes current)."""
+    lo = np.asarray(grid_lo, np.float64)
+    inv = np.asarray(grid_inv, np.float64)
+    gx, gy, gz = grid_dims
+    csz = np.where(inv > 0, 1.0 / np.where(inv > 0, inv, 1.0), 0.0)
     cext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
     m = (float(np.median(cext[cext > 0]) * adj_scale)
          if (cext > 0).any() else 0.0)
-
     ix, iy, iz = np.meshgrid(np.arange(gx), np.arange(gy), np.arange(gz),
                              indexing="ij")
     idx = np.stack([ix, iy, iz], axis=-1).reshape(-1, 3)  # cell-major
@@ -197,18 +222,93 @@ def _build_cell_grid(bmin_all, bmax_all, boxes_np, target_cells=256,
     kc_pad = -(-kc // _LANE) * _LANE
     adj = np.zeros((c_pad, kc_pad), np.float32)
     adj[:gx * gy * gz, :kc] = ov.astype(np.float32)
-    return (adj, tuple(float(x) for x in lo),
-            tuple(float(x) for x in inv), (gx, gy, gz))
+    return adj
+
+
+@dataclasses.dataclass(frozen=True)
+class ClusterLayout:
+    """Frozen clustering DECISIONS, for repack-without-retrace.
+
+    ``make_fit_step_replay`` repacks the scene every optimizer step; the
+    pack's geometry-derived jit STATICS (cluster count, supergroup
+    spans, grid scalars, phase-1 margin) would otherwise change with
+    every parameter nudge and force a full Mosaic recompile per step
+    (r5 review finding).  A layout captured at step 0 freezes the
+    memberships and scalars; cluster/super BOXES and payload tables are
+    recomputed from the CURRENT geometry on every repack, so gating
+    stays conservative/correct as parameters move — only cluster
+    *quality* drifts with large geometry changes.
+    """
+    sph_slots: tuple          # tuple of int tuples (cluster memberships)
+    super_spans: tuple
+    tri_slots: tuple
+    tri_super_spans: tuple
+    grid_lo: tuple
+    grid_inv: tuple
+    grid_dims: tuple
+    phase1_margin: float
+
+
+def _group_clusters(boxes, slot_ids, sort_from):
+    """Spatial supergroups of <=8 clusters (gate_mode="hier").
+
+    Returns (slot_ids, spans) with clusters reordered supergroup-major:
+    supers sorted front-to-back from ``sort_from``, children keeping
+    their camera order.  Small cluster counts stay singleton spans.
+    """
+    kc = len(slot_ids)
+    spans = tuple((k, k + 1) for k in range(kc))
+    if kc <= 16:
+        return slot_ids, spans
+    sb, sgroups = _cluster_type(boxes[:, 0:3].astype(np.float64),
+                                boxes[:, 3:6].astype(np.float64),
+                                np.arange(kc), 8)
+    sgroups = [np.sort(g) for g in sgroups]  # keep camera order
+    if sort_from is not None:
+        scn = 0.5 * (sb[:, 0:3] + sb[:, 3:6])
+        sd2 = ((scn - np.asarray(sort_from, np.float32)) ** 2).sum(1)
+        sorder = np.argsort(sd2, kind="stable")
+        sgroups = [sgroups[i] for i in sorder]
+    slot_ids = [slot_ids[i] for i in np.concatenate(sgroups)]
+    spans, off = [], 0
+    for g in sgroups:
+        spans.append((off, off + len(g)))
+        off += len(g)
+    return slot_ids, tuple(spans)
+
+
+def _member_boxes(bmin, bmax, slot_ids):
+    """Per-cluster AABBs from current member geometry."""
+    boxes = np.zeros((len(slot_ids), 8), np.float32)
+    for k, gids in enumerate(slot_ids):
+        boxes[k, 0:3] = bmin[gids].min(axis=0)
+        boxes[k, 3:6] = bmax[gids].max(axis=0)
+    return boxes
+
+
+def _span_boxes(boxes, spans):
+    """Supergroup AABBs = union of each span's cluster boxes."""
+    sb = np.zeros((len(spans), 8), np.float32)
+    for i, (a, b) in enumerate(spans):
+        sb[i, 0:3] = boxes[a:b, 0:3].min(axis=0)
+        sb[i, 3:6] = boxes[a:b, 3:6].max(axis=0)
+    return sb
 
 
 def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
-                              sort_from=None) -> MegaClusteredPack:
+                              sort_from=None, layout: ClusterLayout = None,
+                              return_layout: bool = False):
     """SAH-cluster + repack (host, once per scene).
 
     ``sort_from`` (3-vector, typically the camera origin): clusters are
     ordered by box-center distance so the in-kernel fold visits near
     clusters first and the best-t bound prunes far ones — the flat-array
     analog of the reference BVH's near-child-first descent.
+
+    ``layout`` (from a previous ``return_layout=True`` call on the same
+    scene topology) reuses the frozen clustering decisions so every
+    jit-static pack attribute is bit-identical across repacks — the
+    per-step repack in ``make_fit_step_replay`` then never retraces.
     """
     from ..geometry.aabb import sphere_aabb_np
 
@@ -249,45 +349,34 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
     sboxes_np = boxes_np
     if ns:
         bmin, bmax = sphere_aabb_np(s.sphere_center, s.sphere_radius)
-        boxes, slot_ids = _cluster_type(bmin, bmax, np.arange(ns), max_leaf)
-        if sort_from is not None:
-            centers = 0.5 * (boxes[:, 0:3] + boxes[:, 3:6])
-            d2 = ((centers - np.asarray(sort_from, np.float32)) ** 2).sum(1)
-            order = np.argsort(d2, kind="stable")
-            boxes = boxes[order]
-            slot_ids = [slot_ids[k] for k in order]
-        kc = len(slot_ids)
-        # r5 SUPERGROUPS (gate_mode="hier"): the r5 fieldbench decomposed
-        # per-iteration cost as ~0.42 us PER CLUSTER independent of
-        # whether it is swept — the per-cluster gate+branch overhead, not
-        # sweep math, dominates large scenes (sweeps cost ~nothing; see
-        # FIELDBENCH_r5.json fit).  Spatially grouping <=8 clusters under
-        # ONE slab gate cuts gate sites ~8x; a fired supergroup sweeps
-        # all its children unconditionally (cheap).  Clusters are
-        # reordered supergroup-major; supers sorted front-to-back.
-        super_spans = tuple((k, k + 1) for k in range(kc))
-        sboxes_np = boxes
-        if kc > 16:
-            sb, sgroups = _cluster_type(boxes[:, 0:3].astype(np.float64),
-                                        boxes[:, 3:6].astype(np.float64),
-                                        np.arange(kc), 8)
-            sgroups = [np.sort(g) for g in sgroups]  # keep camera order
+        if layout is not None:
+            slot_ids = [np.asarray(t, np.int64) for t in layout.sph_slots]
+            super_spans = layout.super_spans
+        else:
+            boxes0, slot_ids = _cluster_type(bmin, bmax, np.arange(ns),
+                                             max_leaf)
             if sort_from is not None:
-                scn = 0.5 * (sb[:, 0:3] + sb[:, 3:6])
-                sd2 = ((scn - np.asarray(sort_from, np.float32))
-                       ** 2).sum(1)
-                sorder = np.argsort(sd2, kind="stable")
-                sb = sb[sorder]
-                sgroups = [sgroups[i] for i in sorder]
-            new_order = np.concatenate(sgroups)
-            boxes = boxes[new_order]
-            slot_ids = [slot_ids[i] for i in new_order]
-            spans, off = [], 0
-            for g in sgroups:
-                spans.append((off, off + len(g)))
-                off += len(g)
-            super_spans = tuple(spans)
-            sboxes_np = np.asarray(sb, np.float32)
+                centers = 0.5 * (boxes0[:, 0:3] + boxes0[:, 3:6])
+                d2 = ((centers - np.asarray(sort_from, np.float32))
+                      ** 2).sum(1)
+                order = np.argsort(d2, kind="stable")
+                boxes0 = boxes0[order]
+                slot_ids = [slot_ids[k] for k in order]
+            # r5 SUPERGROUPS (gate_mode="hier"): the r5 fieldbench
+            # decomposed per-iteration cost as ~0.3-0.44 us PER GATE
+            # SITE independent of whether the cluster is swept — the
+            # gate+branch overhead, not sweep math, dominates large
+            # scenes (FIELDBENCH_r5.json fit).  Spatially grouping <=8
+            # clusters under ONE slab gate cuts gate sites ~8x; a fired
+            # supergroup sweeps all its children.
+            slot_ids, super_spans = _group_clusters(boxes0, slot_ids,
+                                                    sort_from)
+        kc = len(slot_ids)
+        # Boxes are always DATA (recomputed from the current geometry),
+        # so a layout-reusing repack stays conservative after parameter
+        # updates.
+        boxes = _member_boxes(bmin, bmax, slot_ids)
+        sboxes_np = _span_boxes(boxes, super_spans)
         cols = kc * _LANE
         sph = np.zeros((_SPH_ROWS, cols), np.float32)
         sph[0:3] = _BIG                      # sentinel slots: never hit
@@ -340,41 +429,25 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
         v2a = np.asarray(s.tri_v2, np.float64)
         tbmin = np.minimum(np.minimum(v0a, v1a), v2a)
         tbmax = np.maximum(np.maximum(v0a, v1a), v2a)
-        tboxes, t_slots = _cluster_type(tbmin, tbmax, np.arange(nt),
-                                        max_leaf)
-        if sort_from is not None:
-            tcent = 0.5 * (tboxes[:, 0:3] + tboxes[:, 3:6])
-            td2 = ((tcent - np.asarray(sort_from, np.float32))
-                   ** 2).sum(1)
-            torder = np.argsort(td2, kind="stable")
-            tboxes = tboxes[torder]
-            t_slots = [t_slots[i] for i in torder]
-        kt = len(t_slots)
-        tri_super_spans = tuple((k, k + 1) for k in range(kt))
-        tsboxes_np = np.asarray(tboxes, np.float32)
-        if kt > 16:
-            tsb, tsg = _cluster_type(tboxes[:, 0:3].astype(np.float64),
-                                     tboxes[:, 3:6].astype(np.float64),
-                                     np.arange(kt), 8)
-            tsg = [np.sort(g) for g in tsg]
+        if layout is not None:
+            t_slots = [np.asarray(t, np.int64) for t in layout.tri_slots]
+            tri_super_spans = layout.tri_super_spans
+        else:
+            tboxes0, t_slots = _cluster_type(tbmin, tbmax, np.arange(nt),
+                                             max_leaf)
             if sort_from is not None:
-                tscn = 0.5 * (tsb[:, 0:3] + tsb[:, 3:6])
-                tsd2 = ((tscn - np.asarray(sort_from, np.float32))
-                        ** 2).sum(1)
-                tso = np.argsort(tsd2, kind="stable")
-                tsb = tsb[tso]
-                tsg = [tsg[i] for i in tso]
-            t_new = np.concatenate(tsg)
-            tboxes = tboxes[t_new]
-            t_slots = [t_slots[i] for i in t_new]
-            spans, off = [], 0
-            for gsp in tsg:
-                spans.append((off, off + len(gsp)))
-                off += len(gsp)
-            tri_super_spans = tuple(spans)
-            tsboxes_np = np.asarray(tsb, np.float32)
+                tcent = 0.5 * (tboxes0[:, 0:3] + tboxes0[:, 3:6])
+                td2 = ((tcent - np.asarray(sort_from, np.float32))
+                       ** 2).sum(1)
+                torder = np.argsort(td2, kind="stable")
+                tboxes0 = tboxes0[torder]
+                t_slots = [t_slots[i] for i in torder]
+            t_slots, tri_super_spans = _group_clusters(tboxes0, t_slots,
+                                                       sort_from)
+        kt = len(t_slots)
+        tboxes_np = _member_boxes(tbmin, tbmax, t_slots)
+        tsboxes_np = _span_boxes(tboxes_np, tri_super_spans)
         tri = np.zeros((_TRI_ROWS, kt * _LANE), np.float32)
-        tboxes_np = np.asarray(tboxes, np.float32)
         tm_all = np.asarray(s.tri_mat, np.int64)
         for k, gids in enumerate(t_slots):
             m = len(gids)
@@ -396,18 +469,27 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
                 np.float32)
             tri[22, j0:j0 + m] = textype_all[tm_all[gids]].astype(
                 np.float32)
-    margin = 0.0
-    if ns and kc > 1:
-        ext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
-        margin = float(np.median(ext[ext > 0]) * 0.5) if (ext > 0).any() \
-            else 0.0
-    if ns:
-        adj, grid_lo, grid_inv, grid_dims = _build_cell_grid(
-            bmin, bmax, boxes_np[:, :6].astype(np.float64))
+    if layout is not None:
+        margin = layout.phase1_margin
+        grid_lo, grid_inv, grid_dims = (layout.grid_lo, layout.grid_inv,
+                                        layout.grid_dims)
+        adj = (_cell_adj(grid_lo, grid_inv, grid_dims,
+                         boxes_np[:, :6].astype(np.float64))
+               if ns else np.zeros((8, _LANE), np.float32))
     else:
-        adj = np.zeros((8, _LANE), np.float32)
-        grid_lo, grid_inv, grid_dims = (0.0,) * 3, (1.0,) * 3, (1, 1, 1)
-    return MegaClusteredPack(
+        margin = 0.0
+        if ns and kc > 1:
+            ext = (boxes_np[:, 3:6] - boxes_np[:, 0:3]).max(axis=1)
+            margin = (float(np.median(ext[ext > 0]) * 0.5)
+                      if (ext > 0).any() else 0.0)
+        if ns:
+            adj, grid_lo, grid_inv, grid_dims = _build_cell_grid(
+                bmin, bmax, boxes_np[:, :6].astype(np.float64))
+        else:
+            adj = np.zeros((8, _LANE), np.float32)
+            grid_lo, grid_inv, grid_dims = ((0.0,) * 3, (1.0,) * 3,
+                                            (1, 1, 1))
+    pack = MegaClusteredPack(
         sph=jnp.asarray(sph), sph_mx=jnp.asarray(mx),
         boxes=jnp.asarray(boxes_np), tris=jnp.asarray(tri),
         sphere_rows=ns, tri_rows=nt, clusters=kc, tri_groups=tri_groups,
@@ -417,6 +499,18 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
         super_spans=super_spans, tri_boxes=jnp.asarray(tboxes_np),
         tri_super_boxes=jnp.asarray(tsboxes_np), tri_clusters=kt,
         tri_super_spans=tri_super_spans)
+    if not return_layout:
+        return pack
+    layout_out = layout if layout is not None else ClusterLayout(
+        sph_slots=tuple(tuple(int(i) for i in g) for g in slot_ids)
+        if ns else (),
+        super_spans=super_spans,
+        tri_slots=tuple(tuple(int(i) for i in g) for g in t_slots)
+        if nt else (),
+        tri_super_spans=tri_super_spans,
+        grid_lo=grid_lo, grid_inv=grid_inv, grid_dims=grid_dims,
+        phase1_margin=margin)
+    return pack, layout_out
 
 
 def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
@@ -1287,9 +1381,13 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
     """
     cam = _cam_smem(camera)
     key = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    # The adjacency table is only read by gate_mode="adj" (a recorded
+    # negative result); ship a dummy block otherwise so the default
+    # path neither uploads nor VMEM-resides the (cells x clusters) table.
+    adj_in = pack.adj if gate_mode == "adj" else _dummy_adj()
     rad, seg, its, swp = _mega_clustered_jit(
         cam, key, None, pack.boxes, pack.super_boxes, pack.tri_boxes,
-        pack.tri_super_boxes, pack.adj, pack.sph,
+        pack.tri_super_boxes, adj_in, pack.sph,
         pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp=cfg.spp, max_depth=cfg.max_depth,
         t_min=float(cfg.t_min), ns=pack.sphere_rows, nt=pack.tri_rows,
@@ -1320,7 +1418,8 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
                                         seed: int = 0,
                                         interpret: bool = False,
                                         tile: int = TILE,
-                                        k_pix: int = PIX_PER_LANE):
+                                        k_pix: int = PIX_PER_LANE,
+                                        gate_mode: str = "hier"):
     """Mesh-sharded clustered-megakernel render; (ny, nx, 3), top-down.
 
     Data-parallel over the mesh's ``tiles`` axis exactly like
@@ -1375,14 +1474,16 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
             kt=pack.tri_clusters, has_checker=pack.has_checker,
             n_tiles=t_local, interpret=interpret, tile=tile, k_pix=kp,
             margin=pack.phase1_margin, mapping="band",
+            gate_mode=gate_mode,
             lanes_total=lanes_total, grid_lo=pack.grid_lo,
             grid_inv=pack.grid_inv, grid_dims=pack.grid_dims,
             super_spans=pack.super_spans,
             tri_super_spans=pack.tri_super_spans)
         return rad
 
+    adj_in = pack.adj if gate_mode == "adj" else _dummy_adj()
     rad = run(cam, key, pack.boxes, pack.super_boxes, pack.tri_boxes,
-              pack.tri_super_boxes, pack.adj, pack.sph,
+              pack.tri_super_boxes, adj_in, pack.sph,
               pack.sph_mx, pack.tris)
     g_total = n_shards * t_local
     perm = _unpack_perm_band(total, tile, kp)

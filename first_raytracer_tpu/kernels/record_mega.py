@@ -707,9 +707,11 @@ def record_paths_mega_clustered(pack, camera, cfg, key, ray0: int = 0,
     t1 = -(-p1 // blk)
     cam = _cam_smem(camera)
     keya = jnp.asarray(key, jnp.uint32).reshape(1, 2)
+    from .megakernel_clustered import _dummy_adj
+    adj_in = pack.adj if gate_mode == "adj" else _dummy_adj()
     return _record_megac2(
         cam, keya, pack.boxes, pack.super_boxes, pack.tri_boxes,
-        pack.tri_super_boxes, pack.adj, pack.sph,
+        pack.tri_super_boxes, adj_in, pack.sph,
         pack.sph_mx, pack.tris,
         nx=cfg.nx, ny=cfg.ny, spp_total=spp_total,
         max_depth=cfg.max_depth, t_min=float(cfg.t_min),

@@ -162,3 +162,73 @@ def test_adjacency_gate_mode_matches_slab(preset, kw):
         trips = int(np.asarray(its).sum())
         assert 0 < int(np.asarray(swp).sum()) <= trips * (
             pack.clusters + pack.tri_clusters)
+
+
+def test_hier_supergroups_active_at_scale():
+    """Supergrouping only engages past 16 clusters; every other committed
+    test runs below that, so this one pins the ACTUAL hier machinery
+    (multi-child spans, super boxes, fired-group child sweeps) against
+    slab on a scene big enough to form real supergroups."""
+    from first_raytracer_tpu.core import rng as _rng
+
+    scene, cam, cfg = sphere_field(n=2500, nx=16, ny=8, spp=1)
+    pack = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+    assert pack.clusters > 16
+    assert len(pack.super_spans) < pack.clusters          # grouped
+    assert max(b - a for a, b in pack.super_spans) > 1    # multi-child
+    key = _rng.base_key(0)
+    r_slab, s_slab = render_pixels_mega_clustered(
+        pack, cam, cfg, key, interpret=True, gate_mode="slab")
+    r_hier, s_hier = render_pixels_mega_clustered(
+        pack, cam, cfg, key, interpret=True, gate_mode="hier")
+    np.testing.assert_allclose(np.asarray(r_hier), np.asarray(r_slab),
+                               rtol=0, atol=1e-6)
+    assert (np.asarray(s_hier) == np.asarray(s_slab)).all()
+
+
+def test_pack_layout_reuse_is_static_and_correct():
+    """make_fit_step_replay repacks per optimizer step; a frozen
+    ClusterLayout must keep every jit-STATIC pack attribute bit-identical
+    across repacks of a PERTURBED scene (no per-step Mosaic recompile —
+    r5 review finding) while boxes/payloads track the new geometry."""
+    import dataclasses as _dc
+    import jax.numpy as _jnp
+    from first_raytracer_tpu.core import rng as _rng
+    from first_raytracer_tpu.kernels.record_mega import (
+        record_paths_mega_clustered)
+    from first_raytracer_tpu.diff.replay import record_paths
+    from first_raytracer_tpu.render.camera import generate_rays
+
+    scene, cam, cfg = sphere_field(n=600, nx=16, ny=8, spp=2)
+    pack0, layout = pack_scene_mega_clustered(
+        scene, sort_from=cam.origin, return_layout=True)
+    # Identity repack reproduces the fresh pack exactly.
+    pack_same = pack_scene_mega_clustered(scene, sort_from=cam.origin,
+                                          layout=layout)
+    np.testing.assert_array_equal(np.asarray(pack_same.boxes),
+                                  np.asarray(pack0.boxes))
+    np.testing.assert_array_equal(np.asarray(pack_same.sph),
+                                  np.asarray(pack0.sph))
+    # Perturb geometry: statics identical, recorder still correct.
+    moved = _dc.replace(
+        scene, sphere_center=scene.sphere_center
+        + _jnp.full((scene.num_spheres, 3), 0.03, _jnp.float32))
+    pack1 = pack_scene_mega_clustered(moved, sort_from=cam.origin,
+                                      layout=layout)
+    for f in ("clusters", "tri_clusters", "super_spans",
+              "tri_super_spans", "grid_lo", "grid_inv", "grid_dims",
+              "phase1_margin"):
+        assert getattr(pack1, f) == getattr(pack0, f), f
+    key = _rng.base_key(1)
+    ids = np.arange(cfg.num_rays, dtype=np.int32)
+    import jax.numpy as jnp2
+    idsj = jnp2.asarray(ids)
+    cam_u = _rng.camera_uniforms(key, idsj)
+    o, d = generate_rays(cam, cfg.nx, cfg.ny, cfg.spp, idsj, cam_u)
+    ref = np.asarray(record_paths(moved, o, d, idsj, key, cfg))
+    got = np.asarray(record_paths_mega_clustered(
+        pack1, cam, cfg, key, num_rays=cfg.num_rays, interpret=True))
+    # The uniform shift aligns many grid spheres at identical heights, so
+    # the near-tie flip class is a little denser than on the canonical
+    # scenes (0.9963 measured) — still the documented ulp-tie class.
+    assert (got == ref).mean() > 0.995

@@ -294,3 +294,37 @@ def test_clustered_recorder_tape_drives_gradients():
         scale = max(float(np.abs(a).max()), 1e-6)
         np.testing.assert_allclose(b, a, rtol=0, atol=0.05 * scale,
                                    err_msg=k)
+
+
+def test_multi_spp_batch_tapes_match_single_batch():
+    """The emit_tape spp-batch interleave (reshape/transpose across
+    sweeps, sample offsets) must reassemble to the single-batch tape for
+    BOTH recorders — production spp splits into batches but test-scale
+    spp never does, so this pins the decode explicitly."""
+    from first_raytracer_tpu.kernels.megakernel_clustered import (
+        pack_scene_mega_clustered)
+    from first_raytracer_tpu.kernels.record_mega import (
+        record_paths_mega_clustered)
+    from first_raytracer_tpu.scene.builders import sphere_field
+
+    scene, cam, cfg = random_scene(nx=16, ny=8, spp=3)
+    key = rng.base_key(0)
+    pack = pack_scene_mega(scene)
+    base = np.asarray(record_paths_mega(pack, cam, cfg, key,
+                                        interpret=True,
+                                        spp_sizes=(3,)))
+    for sizes in ((1, 1, 1), (1, 2), (2, 1)):
+        got = np.asarray(record_paths_mega(pack, cam, cfg, key,
+                                           interpret=True,
+                                           spp_sizes=sizes))
+        np.testing.assert_array_equal(got, base, err_msg=str(sizes))
+
+    scene, cam, cfg = sphere_field(n=400, nx=16, ny=8, spp=3)
+    cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
+    base = np.asarray(record_paths_mega_clustered(
+        cpak, cam, cfg, key, num_rays=cfg.num_rays, interpret=True,
+        spp_sizes=(3,)))
+    got = np.asarray(record_paths_mega_clustered(
+        cpak, cam, cfg, key, num_rays=cfg.num_rays, interpret=True,
+        spp_sizes=(1, 2)))
+    np.testing.assert_array_equal(got, base)

@@ -70,15 +70,8 @@ def main():
         target = jnp.zeros((R, 3), jnp.float32)
         for k_pix in (8, 16):
             def rec(R=R, k_pix=k_pix):
-                # k_pix rides through record_paths_mega's k_pix=8 via
-                # spp_sizes only for 8; for 16 we call the inner jit
-                # directly is overkill — instead k_pix is fixed at 8 in
-                # the wrapper, so only measure k_pix=8 here.
                 return record_paths_mega(gpack, cam, cfg, key,
-                                         num_rays=R)
-
-            if k_pix != 8:
-                continue
+                                         num_rays=R, k_pix=k_pix)
             tape = rec()
             plan = plan_buckets(tape)
 
@@ -108,7 +101,7 @@ def main():
     ids = jnp.arange(R, dtype=jnp.int32)
     target = jnp.zeros((R, 3), jnp.float32)
 
-    for gm in ("slab", "adj"):
+    for gm in ("slab", "hier"):
         def recc(gm=gm):
             return record_paths_mega_clustered(cpak, cam, cfg, key,
                                                num_rays=R, gate_mode=gm)
@@ -117,6 +110,10 @@ def main():
         print(json.dumps({"stage": "fieldgrad", "scene": "field5000",
                           "gate_mode": gm,
                           "rec_ms": round(t_rec * 1e3, 2)}), flush=True)
+
+    def recc():  # production default for the pipelined numbers below
+        return record_paths_mega_clustered(cpak, cam, cfg, key,
+                                           num_rays=R)
 
     tape = recc()
     plan = plan_buckets(tape)
