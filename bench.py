@@ -225,8 +225,10 @@ def main():
             # past the 2^14 dense bound) — override with BENCH_GRAD_REC.
             rec_kind = os.environ.get("BENCH_GRAD_REC", "")
             if not rec_kind:
+                # Dense recorder bound is VMEM (~1k padded primitives),
+                # not the 2^14 packed-id cap.
                 big = max(scene.num_spheres,
-                          scene.num_triangles) > (1 << 14)
+                          scene.num_triangles) > 1024
                 rec_kind = ("megacluster"
                             if big or scene_sel.startswith("field")
                             else "mega")

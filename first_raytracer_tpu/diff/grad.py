@@ -213,9 +213,13 @@ def make_fit_step_replay(scene, camera, cfg, ray_ids, target, optimizer,
     contiguous = bool((np.diff(ids_np) == 1).all()) if len(ids_np) else True
     ray0 = int(ids_np[0]) if len(ids_np) else 0
     in_range = contiguous and ray0 + len(ids_np) <= (1 << 24)
+    # The dense megakernel's true bound is VMEM, not its 2^14 packed-id
+    # cap: its (Ns_pad, T) sweep temporaries stop compiling past ~1k
+    # padded primitives (r5 on-chip check OOMed at 5120; BASELINE.md r4
+    # note) — scenes beyond that use the clustered recorder.
     use_kernel = (in_range
                   and max(scene.num_spheres, scene.num_triangles)
-                  <= (1 << 14))
+                  <= 1024)
     # Past the dense kernel's 2^14 packed-selection budget, the CLUSTERED
     # recorder takes over (exact per-cluster selection for BOTH primitive
     # types since r5, no packed bound) — r4 silently fell back to the
