@@ -121,7 +121,11 @@ def main():
     # N-sphere large-scene stress preset, e.g. BENCH_SCENE=field20000
     # BENCH_MODE=megacluster for the clustered-megakernel path).
     scene_sel = os.environ.get("BENCH_SCENE", "")
-    if scene_sel.startswith("field"):
+    if scene_sel.startswith("trifield"):
+        from first_raytracer_tpu.scene.builders import triangle_field
+        scene, cam, cfg = triangle_field(n=int(scene_sel[8:] or 20000))
+        metric_name = f"Mpaths/s {scene_sel} {cfg.nx}x{cfg.ny}@{cfg.spp}spp"
+    elif scene_sel.startswith("field"):
         from first_raytracer_tpu.scene.builders import sphere_field
         scene, cam, cfg = sphere_field(n=int(scene_sel[5:] or 20000))
         metric_name = f"Mpaths/s {scene_sel} {cfg.nx}x{cfg.ny}@{cfg.spp}spp"
@@ -132,9 +136,10 @@ def main():
     # Field scenes default to the clustered intersector: the dense pallas
     # intersector's VMEM tile cannot hold 5k+ padded spheres (it is also
     # only used for the untimed instrumentation pass in mega/grad modes).
-    isect = os.environ.get("BENCH_INTERSECT",
-                           "clustered" if scene_sel.startswith("field")
-                           else "pallas")
+    isect = os.environ.get(
+        "BENCH_INTERSECT",
+        "clustered" if scene_sel.startswith(("field", "trifield"))
+        else "pallas")
     pool = int(os.environ.get("BENCH_POOL", 1 << 17))
     chunk = int(os.environ.get("BENCH_CHUNK", 1 << 17))
     repeats = max(3, int(os.environ.get("BENCH_REPEATS", 3)))
@@ -230,7 +235,8 @@ def main():
                 big = max(scene.num_spheres,
                           scene.num_triangles) > 1024
                 rec_kind = ("megacluster"
-                            if big or scene_sel.startswith("field")
+                            if big
+                            or scene_sel.startswith(("field", "trifield"))
                             else "mega")
             if rec_kind == "mega":
                 from first_raytracer_tpu.kernels.record_mega import (
