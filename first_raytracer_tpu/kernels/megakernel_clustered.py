@@ -249,8 +249,8 @@ class ClusterLayout:
     phase1_margin: float
 
 
-def _group_clusters(boxes, slot_ids, sort_from):
-    """Spatial supergroups of <=8 clusters (gate_mode="hier").
+def _group_clusters(boxes, slot_ids, sort_from, fan_out=8):
+    """Spatial supergroups of <=``fan_out`` clusters (gate_mode="hier").
 
     Returns (slot_ids, spans) with clusters reordered supergroup-major:
     supers sorted front-to-back from ``sort_from``, children keeping
@@ -262,7 +262,7 @@ def _group_clusters(boxes, slot_ids, sort_from):
         return slot_ids, spans
     sb, sgroups = _cluster_type(boxes[:, 0:3].astype(np.float64),
                                 boxes[:, 3:6].astype(np.float64),
-                                np.arange(kc), 8)
+                                np.arange(kc), fan_out)
     sgroups = [np.sort(g) for g in sgroups]  # keep camera order
     if sort_from is not None:
         scn = 0.5 * (sb[:, 0:3] + sb[:, 3:6])
@@ -297,7 +297,8 @@ def _span_boxes(boxes, spans):
 
 def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
                               sort_from=None, layout: ClusterLayout = None,
-                              return_layout: bool = False):
+                              return_layout: bool = False,
+                              super_fanout: int = 8):
     """SAH-cluster + repack (host, once per scene).
 
     ``sort_from`` (3-vector, typically the camera origin): clusters are
@@ -370,7 +371,8 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
             # clusters under ONE slab gate cuts gate sites ~8x; a fired
             # supergroup sweeps all its children.
             slot_ids, super_spans = _group_clusters(boxes0, slot_ids,
-                                                    sort_from)
+                                                    sort_from,
+                                                    super_fanout)
         kc = len(slot_ids)
         # Boxes are always DATA (recomputed from the current geometry),
         # so a layout-reusing repack stays conservative after parameter
@@ -443,7 +445,8 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
                 tboxes0 = tboxes0[torder]
                 t_slots = [t_slots[i] for i in torder]
             t_slots, tri_super_spans = _group_clusters(tboxes0, t_slots,
-                                                       sort_from)
+                                                       sort_from,
+                                                       super_fanout)
         kt = len(t_slots)
         tboxes_np = _member_boxes(tbmin, tbmax, t_slots)
         tsboxes_np = _span_boxes(tboxes_np, tri_super_spans)
