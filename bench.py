@@ -182,9 +182,10 @@ def main():
         from first_raytracer_tpu.kernels.megakernel_clustered import (
             pack_scene_mega_clustered, render_pixels_mega_clustered)
         cpak = pack_scene_mega_clustered(scene, sort_from=cam.origin)
-        # hier (supergroup gates) is the measured default for sphere
-        # fields; slab wins on triangle-heavy scenes (FIELDBENCH_r5).
-        gate = os.environ.get("BENCH_GATE", "hier")
+        # wl (worklist gating, r5) is the measured default for sphere
+        # fields (field20000 3.21 vs hier 1.53 Mpaths/s); slab wins on
+        # triangle-heavy scenes (FIELDBENCH_r5).
+        gate = os.environ.get("BENCH_GATE", "wl")
 
         def run():
             rad, seg = render_pixels_mega_clustered(cpak, cam, cfg, key,

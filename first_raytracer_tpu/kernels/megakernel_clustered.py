@@ -28,6 +28,19 @@ persistent-lane design and adds the two-level culling of
   ``rect`` (tile_w x tile_h rectangle) mapping on every field scene.
   ``rect``/``stride`` remain selectable (``mapping=``) for regimes where
   their trade wins.
+- **Worklist gates** (``gate_mode="wl"``, r5, DEFAULT): the end-of-r5
+  probes (tools/worklist_probe.py) overturned two assumptions at once —
+  dynamic 128-aligned VMEM slices work on BOTH dims, and the statically
+  unrolled per-cluster bodies cost 12-18x more than a single dynamic
+  body.  So sphere gating is now data-driven: batched slab intervals
+  for ALL supergroups at once, gate bits extracted to scalar words
+  (exact f32 half-word sums), ctz set-bit iteration over a two-round
+  schedule (round A: supers whose slab entry lies within a static
+  near-cap of the origins, tightening best-t; round B: the remainder
+  re-gated against the tightened t), each fired super sweeping its
+  children through ONE dynamic-offset sweep body.  Bit-exact vs slab;
+  field20000 3.21 vs hier's 1.53 Mpaths/s, no small-scene regression
+  (FIELDBENCH_r5.json wl rows).
 - **Hierarchical gates** (``gate_mode="hier"``, r5): the r5 sweep
   counter overturned the r4 story — slab gates already fire (only
   8-22% of clusters are swept per iteration on the field scenes); what
@@ -517,7 +530,8 @@ def pack_scene_mega_clustered(scene, max_leaf: int = _LANE,
 
 
 def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
-                           tbox_ref, tsbox_ref, adj_ref,
+                           tbox_ref, tsbox_ref, span_ref, adj_ref,
+                           sboxv_ref, w16_ref,
                            sph_ref, mx_ref, tri_ref, rad_ref, seg_ref,
                            it_ref, swp_ref, *refs,
                            nx, ny, spp, max_depth, t_min, tile_w, grid_w,
@@ -815,6 +829,43 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
             def make_sweep(kcl):
                 return make_sweep_span(kcl, kcl + 1)
 
+            def sweep_dyn(kcl):
+                """The single worklist sweep body: ``kcl`` is a TRACED
+                scalar; tables are sliced at dynamic 128-aligned offsets
+                (both dims proven supported — tools/dynslice_probe.py /
+                tools/worklist_probe.py)."""
+                acc_ref[17:18, :] = acc_ref[17:18, :] + 1.0
+                j0 = pl.multiple_of(kcl * _LANE, _LANE)
+                mxb = mx_ref[pl.ds(j0, _LANE), :]
+                cx = mxb[:, 0:1]
+                cy = mxb[:, 1:2]
+                cz = mxb[:, 2:3]
+                c0 = mxb[:, 3:4]
+                dc = cx * dx + cy * dy + cz * dz
+                oc_ = cx * ox + cy * oy + cz * oz
+                bq = od - dc
+                cq = oo - 2.0 * oc_ + c0
+                disc = bq * bq - cq
+                sq = jnp.sqrt(disc)
+                tn = -bq - sq
+                tf_ = sq - bq
+                tall = jnp.where(tn > t_min, tn,
+                                 jnp.where(tf_ > t_min, tf_, f32(_BIG)))
+                t_cl = jnp.min(tall, axis=0)[None, :]
+                slot = jnp.min(jnp.where(tall == t_cl, iota_c,
+                                         i32(_LANE)), axis=0)[None, :]
+                t_cur = acc_ref[0:1, :]
+                better = t_cl < t_cur
+                oh = (iota_c == slot).astype(f32)
+                ext = jax.lax.dot_general(
+                    sph_ref[:, pl.ds(j0, _LANE)], oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST)  # (16, T)
+                acc_ref[0:1, :] = jnp.where(better, t_cl, t_cur)
+                acc_ref[1:17, :] = jnp.where(better, ext,
+                                             acc_ref[1:17, :])
+
             if kc == 1 or gate_mode == "all":
                 for kcl in range(kc):
                     make_sweep(kcl)()   # ungated: cost baseline / 1 cluster
@@ -840,6 +891,80 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
                         for kcl in range(c0, c1):
                             make_sweep(kcl)()
                     pl.when(gate)(sweep_kids)
+            elif gate_mode == "wl":
+                # WORKLIST gating (r5 probes; r6 architecture, v1 at
+                # SUPERGROUP granularity): batched slab intervals for
+                # all supers at once, gate bits extracted to scalar
+                # words (exact f32 half-word sums), ctz set-bit
+                # iteration, ONE dynamic-offset sweep body.  Two rounds
+                # restore the sequential gates' best-t tightening:
+                # round A sweeps supers whose slab entry lies within a
+                # static near-cap of the ray origins (tightening most
+                # lanes' t), round B re-gates the remainder against the
+                # tightened per-lane best t.
+                ks = len(super_spans)
+                ks_pad = sboxv_ref.shape[0]
+                bmn = [sboxv_ref[:, k:k + 1] for k in range(3)]
+                bmx = [sboxv_ref[:, 3 + k:4 + k] for k in range(3)]
+                t0x, t1x = (bmn[0] - ox) * ivx, (bmx[0] - ox) * ivx
+                t0y, t1y = (bmn[1] - oy) * ivy, (bmx[1] - oy) * ivy
+                t0z, t1z = (bmn[2] - oz) * ivz, (bmx[2] - oz) * ivz
+                wnear = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                                jnp.minimum(t0y, t1y)),
+                                    jnp.minimum(t0z, t1z))
+                wfar = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                               jnp.maximum(t0y, t1y)),
+                                   jnp.maximum(t0z, t1z))
+                wnear = wnear * f32(1.0 - 4e-6) - f32(1e-6)
+                wfar = wfar * f32(1.0 + 4e-6) + f32(1e-6)
+                n_half = ks_pad // 16
+                w16c = w16_ref[:, 0:1]
+
+                def gate_words(bound):
+                    g = (active & (jnp.maximum(wnear, t_min)
+                                   <= jnp.minimum(wfar, bound)))
+                    gv = jnp.max(g.astype(f32), axis=1, keepdims=True)
+                    halves = [
+                        jnp.sum(gv[h * 16:(h + 1) * 16, :] * w16c)
+                        .astype(i32) for h in range(n_half)]
+                    words = []
+                    for w in range(0, n_half, 2):
+                        hi = halves[w + 1] if w + 1 < n_half else i32(0)
+                        words.append((halves[w]
+                                      + hi * i32(65536)).astype(u32))
+                    return words
+
+                def sweep_super(s):
+                    ca = span_ref[s, 0]
+                    cb = span_ref[s, 1]
+
+                    def body(i, carry):
+                        sweep_dyn(i)
+                        return carry
+
+                    jax.lax.fori_loop(ca, cb, body, jnp.float32(0.0))
+
+                def run_words(words):
+                    for w, word0 in enumerate(words):
+                        def cond(c):
+                            return c[0] != u32(0)
+
+                        def body(c):
+                            word, base = c
+                            low = word & (~word + u32(1))
+                            s = base + (31
+                                        - jax.lax.clz(low).astype(i32))
+                            sweep_super(s)
+                            return (word & (word - u32(1)), base)
+
+                        jax.lax.while_loop(
+                            cond, body, (word0, jnp.int32(w * 32)))
+
+                words_a = gate_words(f32(margin) * f32(8.0))
+                run_words(words_a)
+                words_b = gate_words(acc_ref[0:1, :])
+                words_b = [b & ~a for a, b in zip(words_a, words_b)]
+                run_words(words_b)
             elif use_adj:
                 # Phase 1: clusters adjacent to any lane's last-hit grid
                 # cell.  One-hot cell union (c_pad, T) -> lane-reduce ->
@@ -964,7 +1089,7 @@ def _mega_clustered_kernel(cam_ref, key_ref, pix0_ref, box_ref, sbox_ref,
             if kt == 1 or gate_mode == "all":
                 for ktc in range(kt):
                     make_tsweep(ktc)()
-            elif gate_mode == "hier":
+            elif gate_mode in ("hier", "wl"):
                 for s, (c0, c1) in enumerate(tri_super_spans):
                     gate = (slab_gate_box(tri_box(c0), tri_bound())
                             if c1 - c0 == 1 else
@@ -1309,6 +1434,20 @@ def _mega_clustered_call(cam, key, pix0, boxes, sboxes, tboxes, tsboxes,
                                     memory_space=pltpu.VMEM),)
         extra_shapes = (jax.ShapeDtypeStruct((rpad_t, lanes),
                                              jnp.float32),)
+    # gate_mode="wl" support arrays (tiny; built here so every gate mode
+    # shares one pallas signature): span table in SMEM, supergroup boxes
+    # as a SUBLANE-major VMEM block padded with inverted (never-gating)
+    # boxes, and the exact power-of-two half-word weights.
+    ks = len(super_spans)
+    ks_pad = max(-(-ks // 16) * 16, 16)
+    span_arr = jnp.zeros((ks_pad, 2), jnp.int32).at[:ks].set(
+        jnp.asarray(super_spans, jnp.int32))
+    sboxv = jnp.concatenate([
+        jnp.full((ks_pad, 3), jnp.float32(_BIG)),
+        jnp.full((ks_pad, 3), jnp.float32(-_BIG)),
+        jnp.zeros((ks_pad, 2), jnp.float32)], axis=1)
+    sboxv = sboxv.at[:ks].set(sboxes[:ks].astype(jnp.float32))
+    w16 = jnp.asarray([[float(1 << b)] for b in range(16)], jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -1320,8 +1459,13 @@ def _mega_clustered_call(cam, key, pix0, boxes, sboxes, tboxes, tsboxes,
             pl.BlockSpec(memory_space=pltpu.SMEM),   # supergroup boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri cluster boxes
             pl.BlockSpec(memory_space=pltpu.SMEM),   # tri super boxes
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # super spans (wl)
             pl.BlockSpec((adj.shape[0], adj.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),   # cell->cluster adj
+            pl.BlockSpec((ks_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # super boxes (wl)
+            pl.BlockSpec((16, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),   # half-word weights
             pl.BlockSpec((sph.shape[0], sph.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((mx.shape[0], mx.shape[1]), lambda i: (0, 0),
@@ -1347,7 +1491,8 @@ def _mega_clustered_call(cam, key, pix0, boxes, sboxes, tboxes, tsboxes,
         ) + extra_shapes,
         scratch_shapes=[pltpu.VMEM((40, tile), jnp.float32)],
         interpret=interpret,
-    )(cam, key, pix0, boxes, sboxes, tboxes, tsboxes, adj, sph, mx, tri)
+    )(cam, key, pix0, boxes, sboxes, tboxes, tsboxes, span_arr, adj,
+      sboxv, w16, sph, mx, tri)
     return outs
 
 
@@ -1375,7 +1520,7 @@ def render_pixels_mega_clustered(pack: MegaClusteredPack, camera, cfg, key,
                                  k_pix: int = PIX_PER_LANE,
                                  tile_w: int = 128,
                                  return_iters: bool = False,
-                                 unroll: int = 2, gate_mode: str = "hier",
+                                 unroll: int = 2, gate_mode: str = "wl",
                                  mapping: str = "band"):
     """Render all pixels; returns (radiance_sum (P, 3), segments (L,)).
 
@@ -1422,7 +1567,7 @@ def render_image_mega_clustered_sharded(scene, camera, cfg, mesh,
                                         interpret: bool = False,
                                         tile: int = TILE,
                                         k_pix: int = PIX_PER_LANE,
-                                        gate_mode: str = "hier"):
+                                        gate_mode: str = "wl"):
     """Mesh-sharded clustered-megakernel render; (ny, nx, 3), top-down.
 
     Data-parallel over the mesh's ``tiles`` axis exactly like

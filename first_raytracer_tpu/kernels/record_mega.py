@@ -675,7 +675,7 @@ def record_paths_mega_clustered(pack, camera, cfg, key, ray0: int = 0,
                                 spp_total: int = None,
                                 interpret: bool = False, tile: int = TILE,
                                 k_pix: int = 8, unroll: int = 2,
-                                gate_mode: str = "hier",
+                                gate_mode: str = "wl",
                                 spp_sizes=None):
     """(max_depth+1, R) i32 primitive tape via the CLUSTERED megakernel.
 

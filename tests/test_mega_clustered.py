@@ -150,7 +150,7 @@ def test_adjacency_gate_mode_matches_slab(preset, kw):
     key = _rng.base_key(0)
     r_slab, s_slab = render_pixels_mega_clustered(
         pack, cam, cfg, key, interpret=True, gate_mode="slab")
-    for gm in ("adj", "hier"):
+    for gm in ("adj", "hier", "wl"):
         r_g, s_g, its, swp = render_pixels_mega_clustered(
             pack, cam, cfg, key, interpret=True, gate_mode=gm,
             return_iters=True)
@@ -179,11 +179,12 @@ def test_hier_supergroups_active_at_scale():
     key = _rng.base_key(0)
     r_slab, s_slab = render_pixels_mega_clustered(
         pack, cam, cfg, key, interpret=True, gate_mode="slab")
-    r_hier, s_hier = render_pixels_mega_clustered(
-        pack, cam, cfg, key, interpret=True, gate_mode="hier")
-    np.testing.assert_allclose(np.asarray(r_hier), np.asarray(r_slab),
-                               rtol=0, atol=1e-6)
-    assert (np.asarray(s_hier) == np.asarray(s_slab)).all()
+    for gm in ("hier", "wl"):
+        r_g, s_g = render_pixels_mega_clustered(
+            pack, cam, cfg, key, interpret=True, gate_mode=gm)
+        np.testing.assert_allclose(np.asarray(r_g), np.asarray(r_slab),
+                                   rtol=0, atol=1e-6, err_msg=gm)
+        assert (np.asarray(s_g) == np.asarray(s_slab)).all(), gm
 
 
 def test_pack_layout_reuse_is_static_and_correct():

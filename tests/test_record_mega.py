@@ -238,7 +238,7 @@ def test_clustered_recorder_matches_wavefront_tape():
         ids = jnp.arange(cfg.num_rays, dtype=jnp.int32)
         ref = _wavefront_tape(scene, cam, cfg, key, ids)
         pack = pack_scene_mega_clustered(scene, sort_from=cam.origin)
-        for gm in ("slab", "adj"):
+        for gm in ("slab", "adj", "wl"):
             got = np.asarray(record_paths_mega_clustered(
                 pack, cam, cfg, key, num_rays=cfg.num_rays,
                 interpret=True, gate_mode=gm))
